@@ -1,0 +1,238 @@
+"""Host-side isosurface extraction + PLY export.
+
+Plays the role of ``skimage.measure.marching_cubes_lewiner`` + ``plyfile`` in
+the reference (siren/utils_sdf.py:25-156, pi_GAN/utils.py:42-180).  Neither
+library is assumed available, so we implement isosurface extraction directly:
+a fully vectorised marching-tetrahedra pass (6 tetrahedra per cube) over only
+the *active* cubes (cells whose corners straddle the level), with shared-edge
+vertex dedup.  The SDF grid itself is evaluated on-device by the callers in
+fixed-size tiles; only the (tiny, sparse) surface crossing work happens on
+host.
+
+Mesh topology differs slightly from Lewiner marching cubes (tetrahedral
+decomposition produces ~2x triangles), but the surface is the same isosurface
+to within linear interpolation — the reference's own consumers (PLY viewers)
+only need a watertight triangle soup.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Cube corners in (x, y, z) offset order.
+_CUBE = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    dtype=np.int64,
+)
+
+# Standard 6-tetrahedra decomposition of the cube along the 0-6 diagonal.
+_TETS = np.array(
+    [
+        [0, 5, 1, 6],
+        [0, 1, 2, 6],
+        [0, 2, 3, 6],
+        [0, 3, 7, 6],
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+    ],
+    dtype=np.int64,
+)
+
+# Tet edges indexed 0..5: pairs of local tet-vertex indices.
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int64
+)
+
+# For each of the 16 sign configurations (bit i set => tet vertex i is
+# "inside", i.e. value < level), the triangles to emit as triples of tet-edge
+# indices.  -1 padding.  Windings chosen so normals point towards "outside".
+_TET_TRIS = {
+    0b0000: [],
+    0b1111: [],
+    0b0001: [(0, 1, 2)],
+    0b1110: [(0, 2, 1)],
+    0b0010: [(0, 4, 3)],
+    0b1101: [(0, 3, 4)],
+    0b0100: [(1, 3, 5)],
+    0b1011: [(1, 5, 3)],
+    0b1000: [(2, 5, 4)],
+    0b0111: [(2, 4, 5)],
+    0b0011: [(1, 2, 4), (1, 4, 3)],
+    0b1100: [(1, 4, 2), (1, 3, 4)],
+    0b0101: [(0, 3, 5), (0, 5, 2)],
+    0b1010: [(0, 5, 3), (0, 2, 5)],
+    0b1001: [(0, 1, 5), (0, 5, 4)],
+    0b0110: [(0, 5, 1), (0, 4, 5)],
+}
+
+# Dense [16, 2, 3] table (-1 = no triangle).
+_TRI_TABLE = np.full((16, 2, 3), -1, dtype=np.int64)
+for _case, _tris in _TET_TRIS.items():
+    for _t, _tri in enumerate(_tris):
+        _TRI_TABLE[_case, _t] = _tri
+_NUM_TRIS = np.array([len(_TET_TRIS[c]) for c in range(16)], dtype=np.int64)
+
+
+def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
+                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0)):
+    """Extract the `level` isosurface of a dense [Nx, Ny, Nz] scalar grid.
+
+    Returns (verts [V,3] float32 in world units, faces [F,3] int32).
+    """
+    values = np.asarray(values, dtype=np.float32)
+    nx, ny, nz = values.shape
+    inside = values < level
+
+    # Active cubes: corner insides disagree.
+    c = inside
+    corner_sum = (
+        c[:-1, :-1, :-1].astype(np.int8) + c[1:, :-1, :-1] + c[1:, 1:, :-1]
+        + c[:-1, 1:, :-1] + c[:-1, :-1, 1:] + c[1:, :-1, 1:]
+        + c[1:, 1:, 1:] + c[:-1, 1:, 1:]
+    )
+    active = (corner_sum > 0) & (corner_sum < 8)
+    cubes = np.argwhere(active)  # [M, 3]
+    if cubes.shape[0] == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+
+    # Global grid-point linear ids for each cube corner: [M, 8]
+    corner_pos = cubes[:, None, :] + _CUBE[None, :, :]  # [M, 8, 3]
+    corner_id = (
+        corner_pos[..., 0] * (ny * nz) + corner_pos[..., 1] * nz
+        + corner_pos[..., 2]
+    )
+    flat = values.reshape(-1)
+    corner_val = flat[corner_id]  # [M, 8]
+
+    # Expand to tets: [M, 6, 4] local cube-corner indices -> values/ids.
+    tet_corner = _TETS[None, :, :]  # [1, 6, 4]
+    tv = np.take_along_axis(
+        corner_val[:, None, :].repeat(6, axis=1), tet_corner, axis=2
+    )  # [M, 6, 4]
+    tid = np.take_along_axis(
+        corner_id[:, None, :].repeat(6, axis=1), tet_corner, axis=2
+    )  # [M, 6, 4]
+    tv = tv.reshape(-1, 4)    # [T, 4]
+    tid = tid.reshape(-1, 4)  # [T, 4]
+
+    case = (
+        (tv[:, 0] < level).astype(np.int64)
+        | ((tv[:, 1] < level) << 1)
+        | ((tv[:, 2] < level) << 2)
+        | ((tv[:, 3] < level) << 3)
+    )
+    keep = (case != 0) & (case != 15)
+    tv, tid, case = tv[keep], tid[keep], case[keep]
+
+    # Emit triangles per tet (up to 2).
+    tris = _TRI_TABLE[case]           # [T, 2, 3] tet-edge indices
+    ntris = _NUM_TRIS[case]           # [T]
+    tri_mask = np.arange(2)[None, :] < ntris[:, None]  # [T, 2]
+    tri_edges = tris[tri_mask]        # [F, 3] tet-edge indices
+
+    # For each emitted triangle corner, the (global id a, global id b, val a,
+    # val b) of the crossed edge.
+    tet_of_tri = np.repeat(np.arange(case.shape[0]), ntris)  # [F]
+    ea = _TET_EDGES[tri_edges, 0]  # [F, 3] local tet-vertex
+    eb = _TET_EDGES[tri_edges, 1]
+    ga = np.take_along_axis(tid[tet_of_tri], ea, axis=1)  # [F, 3] global ids
+    gb = np.take_along_axis(tid[tet_of_tri], eb, axis=1)
+    va = np.take_along_axis(tv[tet_of_tri], ea, axis=1)
+    vb = np.take_along_axis(tv[tet_of_tri], eb, axis=1)
+
+    # Dedup vertices by undirected edge key.
+    lo = np.minimum(ga, gb)
+    hi = np.maximum(ga, gb)
+    key = lo.astype(np.int64) * (nx * ny * nz) + hi
+    uniq, faces_flat = np.unique(key, return_inverse=True)
+    faces_flat = faces_flat.reshape(-1)  # numpy>=2 keeps input shape
+    faces = faces_flat.reshape(-1, 3).astype(np.int32)
+
+    # Interpolate one representative position per unique edge.
+    first = np.full(uniq.shape[0], -1, dtype=np.int64)
+    flat_idx = np.arange(key.size)
+    # last-writer wins is fine; every occurrence interpolates identically.
+    first[faces_flat] = flat_idx
+    ga_f, gb_f = ga.reshape(-1)[first], gb.reshape(-1)[first]
+    va_f, vb_f = va.reshape(-1)[first], vb.reshape(-1)[first]
+    denom = vb_f - va_f
+    t = np.where(np.abs(denom) < 1e-12, 0.5, (level - va_f) / np.where(denom == 0, 1, denom))
+    t = np.clip(t, 0.0, 1.0)
+
+    def id_to_xyz(gid):
+        x = gid // (ny * nz)
+        rem = gid % (ny * nz)
+        return np.stack([x, rem // nz, rem % nz], axis=-1).astype(np.float32)
+
+    pa, pb = id_to_xyz(ga_f), id_to_xyz(gb_f)
+    verts = pa + t[:, None] * (pb - pa)
+    verts = verts * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
+
+    # Drop degenerate faces (two corners on the same unique edge-vertex).
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts.astype(np.float32), faces[good]
+
+
+def write_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Binary little-endian PLY writer (replaces the `plyfile` dependency)."""
+    verts = np.asarray(verts, dtype="<f4")
+    faces = np.asarray(faces, dtype="<i4")
+    header = (
+        "ply\n"
+        "format binary_little_endian 1.0\n"
+        f"element vertex {verts.shape[0]}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {faces.shape[0]}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(verts.tobytes())
+        for tri in faces:
+            f.write(struct.pack("<B3i", 3, int(tri[0]), int(tri[1]), int(tri[2])))
+
+
+def read_ply(path: str):
+    """Minimal reader for the files written by `write_ply` (used in tests)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:end].decode("ascii").splitlines()
+    nv = nf = 0
+    for line in header:
+        if line.startswith("element vertex"):
+            nv = int(line.split()[-1])
+        elif line.startswith("element face"):
+            nf = int(line.split()[-1])
+    verts = np.frombuffer(data, dtype="<f4", count=nv * 3, offset=end)
+    verts = verts.reshape(nv, 3).copy()
+    off = end + nv * 12
+    faces = np.zeros((nf, 3), np.int32)
+    for i in range(nf):
+        (n,) = struct.unpack_from("<B", data, off)
+        faces[i] = struct.unpack_from(f"<{n}i", data, off + 1)[:3]
+        off += 1 + 4 * n
+    return verts, faces
+
+
+def extract_mesh_from_grid(values, level, voxel_origin, voxel_size,
+                           ply_path: str | None = None):
+    """SDF grid -> mesh (+ optional PLY), mirroring
+    convert_sdf_samples_to_ply (siren/utils_sdf.py:86-156)."""
+    verts, faces = marching_tetrahedra(
+        np.asarray(values), level=level,
+        spacing=(voxel_size,) * 3, origin=tuple(voxel_origin),
+    )
+    if ply_path is not None:
+        write_ply(ply_path, verts, faces)
+    return verts, faces

@@ -1,0 +1,93 @@
+"""Image quality metrics: PSNR / SSIM (pure jnp) / optional LPIPS.
+
+Parity notes vs the reference:
+  * PSNR is computed inline everywhere in the reference as
+    ``-10*log10(mse)`` (nerf/train_nerf.py:160, siren/train_img.py:85,
+    nerf/test_nerf.py:107) — identical here.
+  * SSIM mirrors the vendored Gaussian-window implementation
+    (nerf/pytorch_ssim/__init__.py:7-73): 11x11 window, sigma 1.5, SAME
+    padding, per-channel (grouped) convolution, C1=0.01^2, C2=0.03^2.
+  * LPIPS in the reference uses the pip `lpips` package with pretrained
+    AlexNet weights (nerf/test_nerf.py:80).  Pretrained weights cannot be
+    assumed available; `lpips()` returns None unless a weights file is
+    provided, and eval harnesses record null for it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(a, b):
+    return jnp.mean((a - b) ** 2)
+
+
+def psnr(a, b=None, *, mse_value=None):
+    """-10*log10(mse).  Pass two images, or a precomputed mse."""
+    m = mse(a, b) if mse_value is None else mse_value
+    return -10.0 * jnp.log10(m)
+
+
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = np.array(
+        [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
+         for x in range(window_size)],
+        dtype=np.float32,
+    )
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
+    """SSIM over NCHW images (matches nerf/pytorch_ssim/__init__.py:17-37).
+
+    Accepts [N, C, H, W] or [H, W, C] (auto-promoted).
+    """
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    if img1.ndim == 3:  # HWC -> NCHW
+        img1 = jnp.transpose(img1, (2, 0, 1))[None]
+        img2 = jnp.transpose(img2, (2, 0, 1))[None]
+    n, c, h, w = img1.shape
+    win = jnp.asarray(_gaussian_window(window_size, 1.5))
+    # Depthwise conv: kernel [C*1, 1, K, K] with feature_group_count=C.
+    kernel = jnp.broadcast_to(win, (c, 1, window_size, window_size))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1, 1),
+            padding=[(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=c,
+        )
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    if size_average:
+        return jnp.mean(ssim_map)
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def lpips(img1, img2, weights_path: str | None = None):
+    """LPIPS(alex) as used by nerf/test_nerf.py:80,109.
+
+    Requires pretrained AlexNet+linear-head weights on disk; without them
+    (no-network environments) returns None and callers record null.
+    """
+    if weights_path is None:
+        return None
+    raise NotImplementedError(
+        "LPIPS weight loading not wired up yet; pass weights_path=None")

@@ -1,0 +1,356 @@
+"""pi-GAN: mapping network -> FiLM-SIREN NeRF -> volume renderer, plus the
+progressive-growing CoordConv discriminator.
+
+Functional re-design of pi_GAN/modules.py.  The two structural differences
+from the reference are deliberate TPU wins:
+
+  * FiLM conditioning is passed *functionally* (no `set_film_params` mutable
+    state, pi_GAN/modules.py:96-99): `apply(params, x, film)` broadcasts
+    gamma/beta over the sample axes, so...
+  * ...the generator renders the ENTIRE latent batch in one traced
+    computation ([B, rays, samples] tensors) instead of a per-sample Python
+    loop over full image renders (pi_GAN/modules.py:179-181) — the single
+    biggest throughput defect in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn
+from ..ops import rays as ray_ops
+from ..ops.render import render_rays
+
+
+# ---------------------------------------------------------------------------
+# Mapping network (ref: pi_GAN/modules.py:34-68)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    input_dim: int = 256          # z dim (config z_dim, default 1024)
+    output_dim: int = 256         # trunk width
+    output_layers: int = 8        # heads = output_layers + 1 (= 9)
+    hidden_dim: int = 256
+    hidden_layers: int = 3
+
+
+class MappingNetwork:
+    """z -> [B, output_layers+1, 2*output_dim] stacked (gamma||beta) rows.
+
+    Torch-default linear init; head biases initialised to gamma=1, beta=0
+    (the reference's "IMPORTANT!!" block, pi_GAN/modules.py:55-58).
+    """
+
+    def __init__(self, cfg: MappingConfig = MappingConfig()):
+        self.cfg = cfg
+        self.n_heads = cfg.output_layers + 1
+
+    def init(self, key):
+        cfg = self.cfg
+        ks = jax.random.split(key, cfg.hidden_layers + self.n_heads)
+        trunk = [nn.torch_linear_default(ks[0], cfg.input_dim, cfg.hidden_dim)]
+        for i in range(cfg.hidden_layers - 1):
+            trunk.append(
+                nn.torch_linear_default(ks[1 + i], cfg.hidden_dim,
+                                        cfg.hidden_dim))
+        heads = []
+        for i in range(self.n_heads):
+            p = nn.torch_linear_default(
+                ks[cfg.hidden_layers + i], cfg.hidden_dim, 2 * cfg.output_dim)
+            b = jnp.concatenate(
+                [jnp.ones((cfg.output_dim,)), jnp.zeros((cfg.output_dim,))])
+            heads.append({"w": p["w"], "b": b})
+        return {"trunk": tuple(trunk), "heads": tuple(heads)}
+
+    def apply(self, params, z):
+        h = z
+        for p in params["trunk"]:
+            h = jax.nn.leaky_relu(h @ p["w"] + p["b"], 0.2)
+        outs = [h @ p["w"] + p["b"] for p in params["heads"]]
+        return jnp.stack(outs, axis=-2)  # [..., n_heads, 2*output_dim]
+
+
+# ---------------------------------------------------------------------------
+# FiLM-SIREN NeRF trunk (ref: pi_GAN/modules.py:70-118)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FilmSirenNeRFConfig:
+    hidden_dim: int = 256
+    hidden_layers: int = 8
+    c: float = 6.0
+    w0: float = 30.0
+    use_dir: bool = True
+
+
+class FilmSirenNeRF:
+    """apply(params, x[..., 6], film[..., n_film, 2h]) -> [..., 4].
+
+    film leading dims must be a prefix of x's leading dims (e.g. film
+    [B, 9, 512] conditions x [B, R, S, 6]); gamma/beta broadcast over the
+    remaining axes.  n_film = hidden_layers + 1 (input + 7 hidden + rgb).
+    """
+
+    def __init__(self, cfg: FilmSirenNeRFConfig = FilmSirenNeRFConfig()):
+        self.cfg = cfg
+        self.n_film = cfg.hidden_layers + 1
+
+    def init(self, key):
+        cfg = self.cfg
+        h = cfg.hidden_dim
+        ks = jax.random.split(key, cfg.hidden_layers + 3)
+        inp = nn.film_siren_init(ks[0], 3, h, cfg.c, cfg.w0,
+                                 is_first_layer=True)
+        hidden = tuple(
+            nn.film_siren_init(ks[1 + i], h, h, cfg.c, cfg.w0)
+            for i in range(cfg.hidden_layers - 1)
+        )
+        rgb_in = h + 3 if cfg.use_dir else h
+        rgb_hidden = nn.film_siren_init(ks[-3], rgb_in, h, cfg.c, cfg.w0)
+        # Heads: torch-default Linear init (nn.Sequential(Linear, act)).
+        sigma = nn.torch_linear_default(ks[-2], h, 1)
+        rgb = nn.torch_linear_default(ks[-1], h, 3)
+        return {
+            "input": inp, "hidden": hidden, "rgb_hidden": rgb_hidden,
+            "sigma": sigma, "rgb": rgb,
+        }
+
+    def _gamma_beta(self, film, i, x_ndim):
+        """Slice head i and insert broadcast axes to align with x."""
+        h = self.cfg.hidden_dim
+        g, b = film[..., i, :h], film[..., i, h:]
+        batch_dims = film.ndim - 2
+        for _ in range(x_ndim - 1 - batch_dims):
+            g, b = g[..., None, :], b[..., None, :]
+        return g, b
+
+    def apply(self, params, x, film):
+        cfg = self.cfg
+        pos, direction = x[..., :3], x[..., 3:6]
+        g, b = self._gamma_beta(film, 0, x.ndim)
+        h = nn.film_siren_apply(params["input"], pos, g, b, cfg.w0)
+        for i, p in enumerate(params["hidden"]):
+            g, b = self._gamma_beta(film, i + 1, x.ndim)
+            h = nn.film_siren_apply(p, h, g, b, cfg.w0)
+        sigma = jax.nn.relu(h @ params["sigma"]["w"] + params["sigma"]["b"])
+        if cfg.use_dir:
+            h = jnp.concatenate([h, direction], axis=-1)
+        g, b = self._gamma_beta(film, cfg.hidden_layers, x.ndim)
+        h = nn.film_siren_apply(params["rgb_hidden"], h, g, b, cfg.w0)
+        rgb = jax.nn.sigmoid(h @ params["rgb"]["w"] + params["rgb"]["b"])
+        return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Generator (ref: pi_GAN/modules.py:121-197)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    z_dim: int = 1024
+    resolution: int = 32
+    near: float = 0.5
+    far: float = 1.5
+    fov: float = 12.0           # degrees; focal = W/2 / tan(fov/2)
+    coarse_samples: int = 12
+    fine_samples: int = 24
+    horizontal_std: float = 0.45  # radians (pi_GAN/train.py:49)
+    vertical_std: float = 0.15
+    use_dir: bool = True
+
+    @property
+    def focal(self) -> float:
+        return self.resolution / 2.0 / math.tan(self.fov / 2.0 * math.pi / 180.0)
+
+    def with_resolution(self, resolution: int) -> "GeneratorConfig":
+        from dataclasses import replace
+        return replace(self, resolution=resolution)
+
+    def with_render(self, **kw) -> "GeneratorConfig":
+        from dataclasses import replace
+        return replace(self, **kw)
+
+
+class Generator:
+    """Full pi-GAN generator: z -> film -> batched volume render.
+
+    `apply(params, key, z[B, z_dim])` returns images [B, 3, H, W] (NCHW, as
+    the discriminator consumes them), rendering every latent's image in one
+    traced computation with a per-latent random camera pose
+    theta ~ N(0, h_std), phi ~ N(0, v_std) in radians
+    (ref: pi_GAN/modules.py:154-162).
+    """
+
+    def __init__(self, cfg: GeneratorConfig = GeneratorConfig()):
+        self.cfg = cfg
+        self.mapping = MappingNetwork(MappingConfig(input_dim=cfg.z_dim))
+        self.trunk = FilmSirenNeRF(FilmSirenNeRFConfig(use_dir=cfg.use_dir))
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "mapping": self.mapping.init(k1),
+            "trunk": self.trunk.init(k2),
+        }
+
+    # -- pieces ------------------------------------------------------------
+    def get_mapping(self, params, z):
+        return self.mapping.apply(params["mapping"], z)
+
+    def sample_poses(self, key, batch: int):
+        kt, kp = jax.random.split(key)
+        theta = jax.random.normal(kt, (batch,)) * self.cfg.horizontal_std
+        phi = jax.random.normal(kp, (batch,)) * self.cfg.vertical_std
+        return theta, phi
+
+    def render_film(self, params, key, film, theta, phi,
+                    resolution: int | None = None,
+                    coarse_samples: int | None = None,
+                    fine_samples: int | None = None):
+        """Render [B, n_film, 2h] film codes at poses (theta, phi) [B] ->
+        [B, H, W, 3].  The trunk serves as both coarse and fine model
+        (pi_GAN/modules.py:160-161)."""
+        cfg = self.cfg
+        res = resolution or cfg.resolution
+        nc = coarse_samples or cfg.coarse_samples
+        nf = fine_samples or cfg.fine_samples
+        focal = res / 2.0 / math.tan(cfg.fov / 2.0 * math.pi / 180.0)
+
+        poses = jax.vmap(lambda t, p: ray_ops.camera_pose(1.0, t, p))(theta, phi)
+        rays_o, rays_d = jax.vmap(
+            lambda c2w: ray_ops.get_rays_flat(res, res, focal, c2w)
+        )(poses)  # [B, R, 3] each
+
+        model_fn = jax.tree_util.Partial(self.trunk.apply, params["trunk"], film=film)
+        out = render_rays(
+            key, rays_o, rays_d, cfg.near, cfg.far,
+            model_fn, model_fn, nc, nf,
+        )
+        b = film.shape[0]
+        return out["rgb_fine"].reshape(b, res, res, 3)
+
+    # -- forward -----------------------------------------------------------
+    def apply(self, params, key, z, resolution: int | None = None):
+        """z [B, z_dim] -> images [B, 3, H, W]."""
+        k_pose, k_render = jax.random.split(key)
+        film = self.get_mapping(params, z)
+        theta, phi = self.sample_poses(k_pose, z.shape[0])
+        imgs = self.render_film(params, k_render, film, theta, phi, resolution)
+        return jnp.transpose(imgs, (0, 3, 1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (ref: pi_GAN/modules.py:205-317)
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, in_ch, out_ch, k):
+    """torch.nn.Conv2d default init (kaiming uniform a=sqrt(5)):
+    U(+-1/sqrt(fan_in)) for both weight [O, I, kh, kw] and bias."""
+    kw_, kb = jax.random.split(key)
+    fan_in = in_ch * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw_, (out_ch, in_ch, k, k), jnp.float32,
+                           -bound, bound)
+    b = jax.random.uniform(kb, (out_ch,), jnp.float32, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def _conv(p, x, padding=0):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + p["b"][None, :, None, None]
+
+
+def add_coords(x):
+    """Append normalised row/col coordinate channels in [-1, 1]
+    (ref: pi_GAN/modules.py:205-239, CoordConv)."""
+    n, _, h, w = x.shape
+    rows = jnp.linspace(-1.0, 1.0, h)[:, None]
+    cols = jnp.linspace(-1.0, 1.0, w)[None, :]
+    xx = jnp.broadcast_to(rows, (h, w))
+    yy = jnp.broadcast_to(cols, (h, w))
+    coords = jnp.stack([xx, yy])[None]                # [1, 2, H, W]
+    coords = jnp.broadcast_to(coords, (n, 2, h, w)).astype(x.dtype)
+    return jnp.concatenate([x, coords], axis=1)
+
+
+def avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+    ) / 4.0
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    # Channel ladder 64 -> 128 -> 256 -> 400 -> 400 -> 400 over 64^2 -> 2^2
+    # (ref: pi_GAN/modules.py:284-290).
+    channels: tuple = (64, 128, 256, 400, 400, 400)
+
+
+class Discriminator:
+    """Progressive-growing CoordConv discriminator with fade-in.
+
+    `apply(params, x[N,3,H,W], resolution, alpha)` — `resolution` is a static
+    python int (one XLA program per progressive stage, recompiled at the two
+    stage switches), `alpha` is a traced fade-in scalar; alpha < 0 disables
+    fade-in (ref: pi_GAN/modules.py:304-317).
+    """
+
+    def __init__(self, cfg: DiscriminatorConfig = DiscriminatorConfig()):
+        self.cfg = cfg
+        self.n_layers = len(cfg.channels) - 1
+
+    def init(self, key):
+        ch = self.cfg.channels
+        ks = jax.random.split(key, 3 * self.n_layers + self.n_layers + 1)
+        blocks = []
+        for i in range(self.n_layers):
+            cin, cout = ch[i], ch[i + 1]
+            blocks.append({
+                "res": _conv_init(ks[3 * i], cin, cout, 1),
+                "conv1": _conv_init(ks[3 * i + 1], cin + 2, cout, 3),
+                "conv2": _conv_init(ks[3 * i + 2], cout + 2, cout, 3),
+            })
+        adapters = tuple(
+            _conv_init(ks[3 * self.n_layers + i], 3, ch[i], 1)
+            for i in range(self.n_layers)
+        )
+        out = _conv_init(ks[-1], ch[-1], 1, 2)
+        return {"blocks": tuple(blocks), "adapters": adapters, "out": out}
+
+    @staticmethod
+    def _block(p, x):
+        res = _conv(p["res"], x)
+        h = _conv(p["conv1"], add_coords(x), padding=1)
+        h = jax.nn.leaky_relu(h, 0.2)
+        h = _conv(p["conv2"], add_coords(h), padding=1)
+        h = jax.nn.leaky_relu(h + res, 0.2)
+        return avg_pool2(h)
+
+    def apply(self, params, x, resolution: int, alpha=-1.0):
+        step = self.n_layers - int(math.log2(resolution)) + 1
+        h = jax.nn.leaky_relu(_conv(params["adapters"][step], x), 0.2)
+        alpha = jnp.asarray(alpha, x.dtype)
+        for i in range(step, self.n_layers):
+            h = self._block(params["blocks"][i], h)
+            if i == step and step + 1 < len(params["adapters"]):
+                skip = avg_pool2(x)
+                skip = jax.nn.leaky_relu(
+                    _conv(params["adapters"][step + 1], skip), 0.2)
+                fade = jnp.logical_and(alpha >= 0.0, alpha < 1.0)
+                blend = (1.0 - alpha) * skip + alpha * h
+                h = jnp.where(fade, blend, h)
+        out = _conv(params["out"], h)          # [N, 1, 1, 1]
+        return out.reshape(out.shape[0])

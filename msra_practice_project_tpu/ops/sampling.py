@@ -1,0 +1,75 @@
+"""Depth sampling along rays: stratified coarse pass + inverse-CDF fine pass.
+
+Replaces nerf/render.py:27-56 (`sample_pdf`) and the stratified jitter block
+(nerf/render.py:127-132).  Everything is fixed-shape and branch-free: the CDF
+inversion uses a broadcast comparison count instead of `searchsorted` +
+`gather`, which maps onto the VPU as one fused reduction and is directly
+reusable inside a Pallas kernel later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(key, near, far, n_samples: int, batch_shape,
+                       perturb: bool = True, dtype=jnp.float32):
+    """Linspace z in [near, far] with per-interval uniform jitter
+    (ref: nerf/render.py:123,127-132).
+
+    Returns (z_vals [*batch_shape, n], mids [*batch_shape, n-1]).
+    `mids` are midpoints of the *unjittered* grid, exactly what the reference
+    feeds to sample_pdf as bins.
+    """
+    z = jnp.linspace(near, far, n_samples, dtype=dtype)
+    z = jnp.broadcast_to(z, (*batch_shape, n_samples))
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    if not perturb:
+        return z, mids
+    upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+    t = jax.random.uniform(key, z.shape, dtype)
+    return lower + (upper - lower) * t, mids
+
+
+def sample_pdf(bins, weights, n_samples: int):
+    """Inverse-CDF importance sampling (ref: nerf/render.py:27-56).
+
+    bins:    [..., B]   (bin edges; B = n_coarse - 1 midpoints in NeRF use)
+    weights: [..., B-1] (unnormalised pdf over the B-1 intervals)
+
+    NOTE the reference's `u` is a *uniform linspace*, not random draws
+    (nerf/render.py:35) — deterministic quadrature of the CDF.  We replicate
+    that exactly (and it removes an RNG dependency from the hot loop).
+
+    Gradients are stopped: the reference calls `.detach()` on the result
+    (nerf/render.py:141); we stop-grad the inputs which is equivalent and
+    keeps XLA from building a dead backward graph.
+    """
+    bins = jax.lax.stop_gradient(bins)
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., B]
+
+    u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+    u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+
+    # searchsorted(cdf, u, right) == #\{cdf <= u\}: a vectorised comparison count.
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )  # [..., n_samples]
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)

@@ -1,0 +1,168 @@
+"""Tests for core: metrics, mesh extraction, ckpt, config, logging, image io."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msra_practice_project_tpu.core import (
+    ckpt, config, image_io, logging as mlog, mesh, metrics,
+)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((4, 4, 3))
+    b = jnp.full((4, 4, 3), 0.1)
+    # mse = 0.01 -> psnr = 20
+    assert np.isclose(float(metrics.psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_ssim_self_is_one(rng):
+    img = rng.uniform(size=(1, 3, 32, 32)).astype(np.float32)
+    s = float(metrics.ssim(jnp.asarray(img), jnp.asarray(img)))
+    assert s > 0.99
+
+
+def test_ssim_noise_lowers(rng):
+    img = rng.uniform(size=(1, 3, 32, 32)).astype(np.float32)
+    noisy = np.clip(img + rng.normal(scale=0.2, size=img.shape), 0, 1)
+    s = float(metrics.ssim(jnp.asarray(img), jnp.asarray(noisy.astype(np.float32))))
+    assert 0.0 < s < 0.9
+
+
+def test_ssim_matches_torch_reference(rng):
+    """Numerical parity with the vendored pytorch_ssim implementation."""
+    import torch
+    import torch.nn.functional as F
+
+    img1 = rng.uniform(size=(1, 3, 16, 16)).astype(np.float32)
+    img2 = rng.uniform(size=(1, 3, 16, 16)).astype(np.float32)
+
+    # independent torch oracle (same formula, from the SSIM paper)
+    import math
+    g = torch.tensor([math.exp(-((x - 5) ** 2) / (2 * 1.5**2))
+                      for x in range(11)])
+    g = (g / g.sum()).unsqueeze(1)
+    win = (g @ g.t()).unsqueeze(0).unsqueeze(0).expand(3, 1, 11, 11).contiguous()
+    t1, t2 = torch.tensor(img1), torch.tensor(img2)
+    mu1 = F.conv2d(t1, win, padding=5, groups=3)
+    mu2 = F.conv2d(t2, win, padding=5, groups=3)
+    s1 = F.conv2d(t1 * t1, win, padding=5, groups=3) - mu1**2
+    s2 = F.conv2d(t2 * t2, win, padding=5, groups=3) - mu2**2
+    s12 = F.conv2d(t1 * t2, win, padding=5, groups=3) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    want = (((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) /
+            ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))).mean().item()
+
+    got = float(metrics.ssim(jnp.asarray(img1), jnp.asarray(img2)))
+    assert np.isclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# mesh extraction
+# ---------------------------------------------------------------------------
+
+
+def test_marching_tetrahedra_sphere(tmp_path):
+    n = 48
+    grid = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+    x, y, z = np.meshgrid(grid, grid, grid, indexing="ij")
+    sdf = np.sqrt(x**2 + y**2 + z**2) - 1.0
+
+    spacing = 2.4 / (n - 1)
+    verts, faces = mesh.marching_tetrahedra(
+        sdf, level=0.0, spacing=(spacing,) * 3, origin=(-1.2,) * 3)
+    assert verts.shape[0] > 100 and faces.shape[0] > 100
+    radii = np.linalg.norm(verts, axis=-1)
+    # isosurface vertices lie on the unit sphere to within a voxel
+    assert abs(radii.mean() - 1.0) < 0.05
+    assert radii.std() < 0.05
+    assert faces.min() >= 0 and faces.max() < verts.shape[0]
+
+    # PLY round-trip
+    p = str(tmp_path / "sphere.ply")
+    mesh.write_ply(p, verts, faces)
+    v2, f2 = mesh.read_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_marching_tetrahedra_empty():
+    sdf = np.ones((8, 8, 8), np.float32)  # no crossing
+    verts, faces = mesh.marching_tetrahedra(sdf, level=0.0)
+    assert verts.shape == (0, 3) and faces.shape == (0, 3)
+
+
+# ---------------------------------------------------------------------------
+# ckpt
+# ---------------------------------------------------------------------------
+
+
+def test_ckpt_save_restore_roundtrip(tmp_path):
+    log = str(tmp_path)
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "step": jnp.asarray(7)}
+    ckpt.save(log, 7, state)
+    ckpt.save(log, 13, jax.tree.map(lambda x: x * 2, state))
+    assert len(ckpt.list_checkpoints(log)) == 2
+    step, restored = ckpt.restore_latest(log, state)
+    assert step == 13
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3) * 2)
+
+
+def test_ckpt_none_when_empty(tmp_path):
+    assert ckpt.restore_latest(str(tmp_path), {}) is None
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+
+def test_config_defaults_and_writeback(tmp_path):
+    cfg = config.resolve({"output_path": str(tmp_path),
+                          "experiment_name": "exp",
+                          "batch_size": 2048},
+                         config.NERF_TRAIN_DEFAULTS)
+    assert cfg.batch_size == 2048          # overridden
+    assert cfg.render_near == 2.0          # default
+    assert cfg.use_fine_model is True
+    path = config.save_config(cfg, config.log_dir(cfg))
+    reloaded = config.load_config(path)
+    assert reloaded["batch_size"] == 2048
+    assert reloaded["render_far"] == 6.0
+
+
+# ---------------------------------------------------------------------------
+# logging + image io
+# ---------------------------------------------------------------------------
+
+
+def test_metric_logger_roundtrip(tmp_path):
+    ml = mlog.MetricLogger(["loss", "psnr"])
+    ml.append(loss=0.5, psnr=10.0)
+    ml.append(loss=0.25, psnr=13.0)
+    path = ml.save(str(tmp_path))
+    data = mlog.MetricLogger.load(path)
+    assert data["loss"] == [0.5, 0.25]
+    assert data["psnr"] == [10.0, 13.0]
+
+
+def test_image_io_roundtrip(tmp_path, rng):
+    img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "x.png")
+    image_io.imwrite(p, img)
+    back = image_io.imread(p)
+    assert back.shape == (16, 16, 3)
+    assert np.abs(back - img).max() < 0.01  # 8-bit quantisation
+
+    gif = str(tmp_path / "x.gif")
+    image_io.mimwrite(gif, [image_io.to8b(img)] * 3)
+    assert os.path.getsize(gif) > 0

@@ -1,0 +1,246 @@
+"""Golden-value tests for the render core against tiny numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msra_practice_project_tpu.ops import composite, rays, render, sampling
+
+
+# ---------------------------------------------------------------------------
+# get_rays
+# ---------------------------------------------------------------------------
+
+
+def _get_rays_oracle(width, height, focal, c2w):
+    """Direct numpy transcription of the pinhole math (nerf/render.py:7-23)."""
+    i, j = np.meshgrid(np.arange(width, dtype=np.float32),
+                       np.arange(height, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i - width * 0.5) / focal, -(j - height * 0.5) / focal,
+                     -np.ones_like(i)], -1)
+    rays_d = np.sum(dirs[..., np.newaxis, :] * c2w[:3, :3], -1)
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def test_get_rays_matches_oracle():
+    c2w = np.asarray(rays.camera_pose_deg(4.0, 30.0, -20.0))
+    ro, rd = rays.get_rays(5, 4, 10.0, jnp.asarray(c2w))
+    ro_o, rd_o = _get_rays_oracle(5, 4, 10.0, c2w)
+    np.testing.assert_allclose(np.asarray(ro), ro_o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rd), rd_o, atol=1e-5)
+
+
+def test_camera_pose_roundtrip():
+    pose = np.asarray(rays.camera_pose_deg(4.0, 35.0, -25.0))
+    r, theta, phi = rays.pose_to_camera_pos(pose)
+    assert np.isclose(r, 4.0, atol=1e-4)
+    assert np.isclose(theta, 35.0, atol=1e-3)
+    assert np.isclose(phi, -25.0, atol=1e-3)
+
+
+def test_camera_pose_radians_vs_degrees():
+    a = np.asarray(rays.camera_pose(1.0, 0.3, 0.15))
+    b = np.asarray(rays.camera_pose_deg(1.0, np.degrees(0.3), np.degrees(0.15)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# stratified + pdf sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_samples_in_intervals():
+    key = jax.random.PRNGKey(0)
+    z, mids = sampling.stratified_samples(key, 2.0, 6.0, 64, (128,))
+    assert z.shape == (128, 64)
+    assert mids.shape == (128, 63)
+    base = np.linspace(2.0, 6.0, 64)
+    lower = np.concatenate([[base[0]], (base[1:] + base[:-1]) / 2])
+    upper = np.concatenate([(base[1:] + base[:-1]) / 2, [base[-1]]])
+    zn = np.asarray(z)
+    assert (zn >= lower - 1e-6).all() and (zn <= upper + 1e-6).all()
+    # unjittered midpoints, identical across the batch
+    mids_n = np.asarray(mids)
+    np.testing.assert_allclose(mids_n[0], (base[1:] + base[:-1]) / 2,
+                               atol=1e-5)
+    assert (mids_n == mids_n[0]).all()
+
+
+def test_stratified_no_perturb_is_linspace():
+    z, _ = sampling.stratified_samples(jax.random.PRNGKey(0), 0.0, 1.0, 11,
+                                       (3,), perturb=False)
+    np.testing.assert_allclose(np.asarray(z[0]), np.linspace(0, 1, 11),
+                               atol=1e-6)
+
+
+def _sample_pdf_oracle(bins, weights, n):
+    """Numpy transcription of the inverse-CDF logic (nerf/render.py:27-56)."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = np.cumsum(pdf, -1)
+    cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+    u = np.broadcast_to(np.linspace(0, 1, n), cdf.shape[:-1] + (n,))
+    inds = np.stack([
+        np.searchsorted(cdf[b], u[b], side="right")
+        for b in range(cdf.shape[0])
+    ])
+    below = np.maximum(inds - 1, 0)
+    above = np.minimum(inds, cdf.shape[-1] - 1)
+    cdf_b = np.take_along_axis(cdf, below, -1)
+    cdf_a = np.take_along_axis(cdf, above, -1)
+    bins_b = np.take_along_axis(bins, np.minimum(below, bins.shape[-1] - 1), -1)
+    bins_a = np.take_along_axis(bins, np.minimum(above, bins.shape[-1] - 1), -1)
+    denom = cdf_a - cdf_b
+    denom = np.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def test_sample_pdf_matches_oracle(rng):
+    bins = np.sort(rng.uniform(2, 6, size=(8, 63)), axis=-1).astype(np.float32)
+    weights = rng.uniform(0, 1, size=(8, 61)).astype(np.float32)
+    got = np.asarray(sampling.sample_pdf(jnp.asarray(bins),
+                                         jnp.asarray(weights), 128))
+    want = _sample_pdf_oracle(bins, weights, 128)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert got.shape == (8, 128)
+    # samples live inside the bin range
+    assert (got >= bins.min() - 1e-4).all() and (got <= bins.max() + 1e-4).all()
+
+
+def test_sample_pdf_concentrates_mass(rng):
+    """Put all weight in one interval; all samples should land there."""
+    bins = np.broadcast_to(np.linspace(0, 1, 11, dtype=np.float32), (4, 11)).copy()
+    weights = np.full((4, 10), 1e-8, np.float32)
+    weights[:, 5] = 1.0
+    got = np.asarray(sampling.sample_pdf(jnp.asarray(bins),
+                                         jnp.asarray(weights), 32))
+    inside = (got >= bins[0, 5] - 0.02) & (got <= bins[0, 6] + 0.02)
+    assert inside.mean() > 0.9
+
+
+def test_sample_pdf_stops_gradient():
+    bins = jnp.linspace(0.0, 1.0, 11)[None].repeat(2, 0)
+    w = jnp.ones((2, 10))
+
+    def f(w):
+        return sampling.sample_pdf(bins, w, 16).sum()
+
+    g = jax.grad(f)(w)
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# compositing
+# ---------------------------------------------------------------------------
+
+
+def _raw_to_outputs_oracle(raw, z_vals, rays_d, white=True):
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = np.concatenate([dists, np.full_like(dists[..., :1], 1e10)], -1)
+    dists = dists * np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rgb = raw[..., :3]
+    alpha = 1.0 - np.exp(-raw[..., 3] * dists)
+    ones = np.ones_like(alpha[..., :1])
+    trans = np.cumprod(np.concatenate([ones, 1 - alpha + 1e-10], -1), -1)[..., :-1]
+    weights = alpha * trans
+    rgb_map = (weights[..., None] * rgb).sum(-2)
+    depth = (weights * z_vals).sum(-1)
+    acc = weights.sum(-1)
+    if white:
+        rgb_map = rgb_map + (1 - acc[..., None])
+    return rgb_map, depth, acc, weights
+
+
+def test_raw_to_outputs_matches_oracle(rng):
+    raw = rng.uniform(0, 1, size=(16, 32, 4)).astype(np.float32)
+    raw[..., 3] *= 10
+    z = np.sort(rng.uniform(2, 6, size=(16, 32)), -1).astype(np.float32)
+    rd = rng.normal(size=(16, 3)).astype(np.float32)
+    got = composite.raw_to_outputs(jnp.asarray(raw), jnp.asarray(z),
+                                   jnp.asarray(rd))
+    want = _raw_to_outputs_oracle(raw, z, rd)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-4, atol=1e-5)
+
+
+def test_raw_to_outputs_opaque_first_sample():
+    """A very dense first sample should dominate the ray."""
+    raw = np.zeros((1, 8, 4), np.float32)
+    raw[0, 0, :3] = [1.0, 0.0, 0.0]
+    raw[0, 0, 3] = 1e6
+    z = np.broadcast_to(np.linspace(2, 6, 8, dtype=np.float32), (1, 8))
+    rd = np.array([[0.0, 0.0, 1.0]], np.float32)
+    rgb, depth, acc, _ = composite.raw_to_outputs(
+        jnp.asarray(raw), jnp.asarray(z.copy()), jnp.asarray(rd))
+    np.testing.assert_allclose(np.asarray(rgb[0]), [1, 0, 0], atol=1e-4)
+    np.testing.assert_allclose(float(depth[0]), 2.0, atol=1e-4)
+    np.testing.assert_allclose(float(acc[0]), 1.0, atol=1e-5)
+
+
+def test_raw_to_outputs_empty_space_white_background():
+    raw = np.zeros((1, 8, 4), np.float32)
+    z = np.broadcast_to(np.linspace(2, 6, 8, dtype=np.float32), (1, 8))
+    rd = np.array([[0.0, 0.0, 1.0]], np.float32)
+    rgb, _, acc, _ = composite.raw_to_outputs(
+        jnp.asarray(raw), jnp.asarray(z.copy()), jnp.asarray(rd))
+    np.testing.assert_allclose(np.asarray(rgb[0]), [1, 1, 1], atol=1e-5)
+    np.testing.assert_allclose(float(acc[0]), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# render_rays end-to-end on a synthetic analytic field
+# ---------------------------------------------------------------------------
+
+
+def _sphere_field(x):
+    """A red unit sphere at the origin: density inside, red colour."""
+    pos = x[..., :3]
+    d = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    sigma = jnp.where(d < 1.0, 50.0, 0.0)
+    rgb = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), pos.shape)
+    return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def test_render_rays_sphere():
+    key = jax.random.PRNGKey(0)
+    # Rays from z=+4 looking down -z: center ray hits the sphere, edge misses.
+    rays_o = jnp.array([[0.0, 0.0, 4.0], [3.0, 3.0, 4.0]])
+    rays_d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    out = render.render_rays(key, rays_o, rays_d, 2.0, 6.0,
+                             _sphere_field, _sphere_field, 64, 128)
+    rgb = np.asarray(out["rgb_fine"])
+    np.testing.assert_allclose(rgb[0], [1, 0, 0], atol=1e-2)   # hit: red
+    np.testing.assert_allclose(rgb[1], [1, 1, 1], atol=1e-3)   # miss: white
+    assert 2.9 < float(out["depth_fine"][0]) < 3.1              # front surface
+    assert float(out["acc_fine"][0]) > 0.99
+    assert float(out["acc_fine"][1]) < 1e-3
+    # fine sampling concentrates: coarse depth close too but noisier
+    assert abs(float(out["depth_coarse"][0]) - 3.0) < 0.2
+
+
+def test_render_rays_batched_leading_dims():
+    """[B, R, 3] rays render identically to per-batch calls."""
+    key = jax.random.PRNGKey(1)
+    rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, 4.0]), (2, 8, 3))
+    rays_d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (2, 8, 3))
+    out = render.render_rays(key, rays_o, rays_d, 2.0, 6.0,
+                             _sphere_field, _sphere_field, 16, 32)
+    assert out["rgb_fine"].shape == (2, 8, 3)
+    assert out["depth_fine"].shape == (2, 8)
+
+
+def test_render_image_shapes_and_content():
+    key = jax.random.PRNGKey(2)
+    pose = rays.camera_pose_deg(4.0, 0.0, 0.0)
+    f = jax.tree_util.Partial(_sphere_field)
+    rgb, depth, acc = render.render_image(
+        key, 20, 20, 18.0, pose, 2.0, 6.0, f, f, 32, 64, chunk=128)
+    assert rgb.shape == (20, 20, 3)
+    assert depth.shape == (20, 20, 1)
+    assert acc.shape == (20, 20, 1)
+    rgbn = np.asarray(rgb)
+    # center pixel hits the red sphere; corner pixel sees white background
+    assert rgbn[10, 10, 0] > 0.95 and rgbn[10, 10, 1] < 0.05
+    assert rgbn[0, 0].min() > 0.95
