@@ -1,0 +1,127 @@
+"""Benchmark: canonical NeRF training throughput on one chip.
+
+Workload geometry = the reference's lego hot loop (BASELINE.md): 1024
+rays/step through coarse (64 samples) + fine (64+128 samples) NeRF MLPs,
+full train step (hierarchical render -> MSE losses -> grads -> Adam).
+Metric: rays/sec/chip.  Also reports a pi-GAN generator throughput line to
+stderr for tracking (headline JSON stays single-line on stdout).
+
+vs_baseline compares against bench_baseline.json (the first TPU run recorded
+in this repo — the reference publishes no numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+BATCH = 1024
+NC, NF = 64, 128
+WARMUP_STEPS = 3
+BENCH_STEPS = 30
+
+
+def bench_nerf_train():
+    import jax
+    import jax.numpy as jnp
+
+    from msra_practice_project_tpu.models.nerf import nerf_model
+    from msra_practice_project_tpu.train import common
+    from msra_practice_project_tpu.train.train_nerf import make_train_step
+
+    cfg = {
+        "use_fine_model": True, "use_alpha": False,
+        "render_near": 2.0, "render_far": 6.0,
+        "render_coarse_sample_num": NC, "render_fine_sample_num": NF,
+    }
+    model = nerf_model(False)
+    key = jax.random.PRNGKey(0)
+    params = {"coarse": model.init(key),
+              "fine": model.init(jax.random.fold_in(key, 1))}
+    tx = common.adam(common.exponential_lr(5e-4, 500))
+    state = common.init_state(params, tx)
+    step_fn = make_train_step(model, model, tx, cfg)
+
+    # Synthetic ray batch with lego-like geometry (rays from radius-4 orbit).
+    kb = jax.random.fold_in(key, 2)
+    ro = jax.random.normal(kb, (BATCH, 3)) * 0.1 + jnp.array([0, 0, 4.0])
+    rd = -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True) + \
+        0.1 * jax.random.normal(jax.random.fold_in(kb, 1), (BATCH, 3))
+    rgba = jax.random.uniform(jax.random.fold_in(kb, 2), (BATCH, 4))
+    batch = jnp.concatenate([ro, rd, rgba], axis=1)
+
+    for i in range(WARMUP_STEPS):
+        state, m = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
+    np.asarray(m["loss"])  # sync (block_until_ready unreliable on axon)
+
+    t0 = time.perf_counter()
+    for i in range(BENCH_STEPS):
+        state, m = step_fn(state, batch, jax.random.fold_in(key, 200 + i))
+    np.asarray(m["loss"])  # sync
+    dt = time.perf_counter() - t0
+    steps_per_sec = BENCH_STEPS / dt
+    return BATCH * steps_per_sec, steps_per_sec
+
+
+def bench_pigan_gen():
+    import jax
+
+    from msra_practice_project_tpu.models import pigan
+
+    cfg = pigan.GeneratorConfig(z_dim=1024, resolution=32, coarse_samples=8,
+                                fine_samples=16)
+    g = pigan.Generator(cfg)
+    gp = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (64, 1024))
+    fwd = jax.jit(lambda p, k, z: g.apply(p, k, z))
+    img = fwd(gp, jax.random.PRNGKey(2), z)
+    np.asarray(img)
+    t0 = time.perf_counter()
+    for i in range(10):
+        img = fwd(gp, jax.random.PRNGKey(3 + i), z)
+    np.asarray(img)
+    dt = time.perf_counter() - t0
+    return 64 * 10 / dt
+
+
+def main():
+    rays_per_sec, steps_per_sec = bench_nerf_train()
+    try:
+        imgs_per_sec = bench_pigan_gen()
+        print(f"[bench] pigan generator fwd: {imgs_per_sec:.1f} imgs/s "
+              f"(batch 64 @32^2, 8+16 samples)", file=sys.stderr)
+    except Exception as e:  # secondary metric must not break the headline
+        print(f"[bench] pigan generator bench failed: {e}", file=sys.stderr)
+
+    print(f"[bench] nerf train: {steps_per_sec:.2f} steps/s "
+          f"({BATCH} rays x {NC}+{NC + NF} samples, fwd+bwd+adam)",
+          file=sys.stderr)
+
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f)["value"]
+    else:
+        baseline = rays_per_sec
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "nerf_train_rays_per_sec_chip",
+                       "value": rays_per_sec,
+                       "recorded": "first TPU run (reference publishes no "
+                                   "numbers, see BASELINE.md)"}, f, indent=2)
+
+    print(json.dumps({
+        "metric": "nerf_train_rays_per_sec_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

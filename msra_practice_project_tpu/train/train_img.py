@@ -1,0 +1,130 @@
+"""SIREN image fitting: f(x, y) -> intensity on a single grayscale image.
+
+TPU re-design of siren/train_img.py.  The whole dataset (a few hundred
+thousand (x, y, v) rows) lives on device; each jitted step dynamic-slices its
+batch out of the buffer, so the hot loop never touches the host.  PSNR/loss
+history is kept for log.npy parity; periodic full-grid renders and
+step-stamped checkpoints match the reference cadence.
+
+Run: python -m msra_practice_project_tpu.train.train_img configs/siren/siren_img.json
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import ckpt as ckpt_lib
+from ..core import image_io, metrics
+from ..core.config import SIREN_IMG_DEFAULTS, log_dir, save_config
+from ..core.logging import MetricLogger, log_print
+from ..data import image as image_data
+from ..models.siren_mlp import img_model
+from . import common
+
+DEFAULT_IMAGE = "./data/image/cameraman.jpg"
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
+def _train_step(state, buffer, batch_start, *, apply_fn, tx, batch_size):
+    batch = jax.lax.dynamic_slice_in_dim(buffer, batch_start, batch_size)
+    pos, target = batch[:, :2], batch[:, 2:]
+
+    def loss_fn(params):
+        pred = apply_fn(params, pos)
+        return jnp.mean((pred - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+    updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+    new_state = {
+        "params": optax.apply_updates(state["params"], updates),
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    psnr = -10.0 * jnp.log10(loss)
+    return new_state, {"loss": loss, "psnr": psnr}
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "width", "height"))
+def render_grid(params, *, apply_fn, width: int, height: int):
+    """Full-grid eval -> [H, W] image (ref: siren/utils_img.py:6-16)."""
+    xs, ys = jnp.meshgrid(jnp.linspace(-1, 1, width),
+                          jnp.linspace(-1, 1, height))
+    pos = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=1)
+    out = apply_fn(params, pos)
+    return out.reshape(height, width)
+
+
+def train(config) -> dict:
+    log_path = log_dir(config)
+    os.makedirs(log_path, exist_ok=True)
+    save_config(config, log_path)
+
+    # Data: reference hardcodes ./data/image/cameraman.jpg
+    # (siren/train_img.py:32); we honour an optional data_path key and fall
+    # back to a synthetic band-limited image when neither exists.
+    data_path = config.get("data_path", DEFAULT_IMAGE)
+    if os.path.exists(data_path):
+        img = image_data.load_image_grayscale(data_path)
+    else:
+        log_print(f"[data] {data_path} not found - using synthetic image")
+        img = image_data.make_synthetic_image(config.get("data_size", 256))
+    height, width = img.shape[:2]
+    buffer = jnp.asarray(image_data.image_to_coords(img, shuffle=True))
+    n = buffer.shape[0]
+    batch_size = min(config.batch_size, n)
+
+    model = img_model(config.model_type)
+    params = model.init(jax.random.PRNGKey(config.get("seed", 0)))
+    tx = common.adam(config.learning_rate)
+    state = common.init_state(params, tx)
+    global_step, state = common.resume(log_path, state)
+
+    logger = MetricLogger(["loss", "psnr"])
+    apply_fn = jax.tree_util.Partial(model.apply)
+
+    batch_idx = 0
+    epoch_idx = 0
+    batch_num = max(n // batch_size, 1)
+    for global_step in range(global_step + 1, config.iterations + 1):
+        state, m = _train_step(
+            state, buffer, batch_idx * batch_size,
+            apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+        batch_idx += 1
+        if batch_idx >= batch_num:
+            batch_idx = 0
+            epoch_idx += 1
+        logger.append(loss=m["loss"], psnr=m["psnr"])
+
+        if global_step % config.i_print == 0:
+            log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx}) "
+                      f"Loss: {float(m['loss'])} PSNR: {float(m['psnr'])}")
+        if global_step % config.i_image == 0:
+            frame = render_grid(state["params"], apply_fn=apply_fn,
+                                width=width, height=height)
+            image_io.imwrite(
+                os.path.join(log_path, f"{global_step:06d}.png"),
+                np.asarray(frame))
+        if global_step % config.i_save == 0:
+            path = ckpt_lib.save(log_path, global_step, state)
+            log_print(f"Saved checkpoints at {path}")
+
+    logger.save(log_path)
+    return {"state": state, "log": logger.data, "model": model,
+            "image": img, "width": width, "height": height}
+
+
+def main(argv=None):
+    config = common.parse_cli(argv if argv is not None else sys.argv[1:],
+                              SIREN_IMG_DEFAULTS)
+    train(config)
+
+
+if __name__ == "__main__":
+    main()
