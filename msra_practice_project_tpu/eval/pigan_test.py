@@ -1,0 +1,81 @@
+"""pi-GAN diagnostics: D logits on real vs generated batches + loss curves.
+
+TPU port of pi_GAN/test.py:64-85.
+
+Run: python -m msra_practice_project_tpu.eval.pigan_test <config.json>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import matplotlib
+import numpy as np
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir  # noqa: E402
+from ..data.image_folder import ImageFolder  # noqa: E402
+from ..train import common  # noqa: E402
+from .pigan_demo import load_generator  # noqa: E402
+
+
+def run(config, n: int = 8, resolution: int = 64):
+    generator, discriminator, state, step = load_generator(config)
+    g_params, d_params = state["g"]["params"], state["d"]["params"]
+    log_path = log_dir(config)
+    key = jax.random.PRNGKey(0)
+
+    # generated
+    z = jax.random.normal(key, (n, config["z_dim"]))
+    imgs = generator.apply(g_params, jax.random.fold_in(key, 1), z,
+                           resolution)
+    gen_logits = np.asarray(discriminator.apply(d_params, imgs, resolution,
+                                                -1.0))
+    print("D logits (generated):", gen_logits)
+
+    # real (if the dataset exists)
+    data_path = config["data_path"]
+    if not os.path.isdir(data_path):
+        data_path = os.path.join(log_path, "_synthetic_faces")
+    if os.path.isdir(data_path):
+        ds = ImageFolder(data_path, n, resize=resolution / 64.0)
+        _, _, real = ds.get()
+        real = jnp.transpose(real, (0, 3, 1, 2))
+        real_logits = np.asarray(discriminator.apply(d_params, real,
+                                                     resolution, -1.0))
+        print("D logits (real):     ", real_logits)
+        # NOTE sign convention: D is trained to push real -> -inf,
+        # fake -> +inf (see train_pigan.py docstring).
+        print("mean real %.3f < mean fake %.3f ?"
+              % (real_logits.mean(), gen_logits.mean()),
+              bool(real_logits.mean() < gen_logits.mean()))
+
+    # loss curves
+    loss_log_path = os.path.join(log_path, "loss_log.npy")
+    if os.path.exists(loss_log_path):
+        loss_log = np.load(loss_log_path, allow_pickle=True).item()
+        plt.figure(figsize=(6, 4))
+        plt.plot(loss_log["d_loss"], label="d_loss", linewidth=0.8)
+        plt.plot(loss_log["g_loss"], label="g_loss", linewidth=0.8)
+        plt.xlabel("iteration")
+        plt.legend()
+        plt.tight_layout()
+        out = os.path.join(log_path, "loss_curves.png")
+        plt.savefig(out, dpi=150)
+        plt.close()
+        print("loss curves ->", out)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    config = common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS)
+    run(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""NeRF evaluation sweep: render every train/val-in/val-ex view and score it.
+
+TPU port of nerf/test_nerf.py: per-view angular distance to the nearest
+training region, PSNR, SSIM (jnp port of the vendored pytorch_ssim) and
+LPIPS (null without pretrained AlexNet weights — no-network environment);
+dumps test.json and a stacked comparison strip test.jpg.
+
+Run: python -m msra_practice_project_tpu.eval.test_nerf <log_dir> <ckpt_idx>
+     [sample_multiplier]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ..core import image_io, metrics
+from ..ops.rays import pose_to_camera_pos
+from ..train.train_nerf import load_dataset
+from .nerf_common import load_experiment, render_view
+
+
+def angular_distance(pose) -> float:
+    """max(|theta|, |phi|) folded across the 180-degree seam
+    (ref: nerf/test_nerf.py:104-105)."""
+    _, theta, phi = pose_to_camera_pos(pose)
+    if abs(theta) < 90:
+        return max(abs(theta), abs(phi))
+    return 180 - max(180 - abs(theta), abs(phi))
+
+
+def run(log_path: str, ckpt_idx: int | None, sample_mult: float = 1.0,
+        max_views: int | None = None):
+    config, models, state, step = load_experiment(log_path, ckpt_idx)
+    images, poses, width, height, focal, _ = load_dataset(config)
+
+    data = {k: {"train": [], "in": [], "ex": []}
+            for k in ["dist", "psnr", "ssim", "lpips"]}
+    strips, targets = [], []
+    key = jax.random.PRNGKey(0)
+
+    for split in ["train", "in", "ex"]:
+        pairs = (zip(poses["train"], images["train"]) if split == "train"
+                 else zip(poses["val"][split], images["val"][split]))
+        for i, (pose, target) in enumerate(pairs):
+            if max_views is not None and i >= max_views:
+                break
+            rgb, _, _ = render_view(config, models, state, width, height,
+                                    focal, pose,
+                                    jax.random.fold_in(key, i),
+                                    sample_mult)
+            target_rgb = np.asarray(target[..., :3])
+            dist = angular_distance(pose)
+            mse = float(np.mean((rgb - target_rgb) ** 2))
+            psnr = -10 * np.log10(mse)
+            ssim = float(metrics.ssim(rgb, target_rgb))
+            lp = metrics.lpips(rgb, target_rgb)  # None w/o weights
+            data["dist"][split].append(dist)
+            data["psnr"][split].append(psnr)
+            data["ssim"][split].append(ssim)
+            data["lpips"][split].append(lp)
+            strips.append(rgb)
+            targets.append(target_rgb)
+            print(f"[Test] {split} DIST: {dist:.2f} PSNR: {psnr:.3f} "
+                  f"SSIM: {ssim:.4f} LPIPS: {lp}")
+
+    test_file = os.path.join(log_path, "test.json")
+    with open(test_file, "w") as f:
+        json.dump(data, f)
+    print("Test data write to:", test_file)
+
+    strip = np.concatenate(
+        [np.concatenate(strips, 0), np.concatenate(targets, 0)], 1)
+    test_img = os.path.join(log_path, "test.jpg")
+    image_io.imwrite(test_img, strip)
+    print("Test image write to:", test_img)
+    return data
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        raise SystemExit(
+            "usage: test_nerf <log_dir> [ckpt_idx] [sample_multiplier]")
+    log_path = argv[0]
+    ckpt_idx = int(argv[1]) if len(argv) > 1 else None
+    mult = float(argv[2]) if len(argv) > 2 else 1.0
+    run(log_path, ckpt_idx, mult)
+
+
+if __name__ == "__main__":
+    main()

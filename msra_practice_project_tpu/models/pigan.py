@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -211,10 +212,14 @@ class Generator:
         phi = jax.random.normal(kp, (batch,)) * self.cfg.vertical_std
         return theta, phi
 
+    @partial(jax.jit, static_argnames=("self", "resolution",
+                                       "coarse_samples", "fine_samples",
+                                       "fov"))
     def render_film(self, params, key, film, theta, phi,
                     resolution: int | None = None,
                     coarse_samples: int | None = None,
-                    fine_samples: int | None = None):
+                    fine_samples: int | None = None,
+                    fov: float | None = None):
         """Render [B, n_film, 2h] film codes at poses (theta, phi) [B] ->
         [B, H, W, 3].  The trunk serves as both coarse and fine model
         (pi_GAN/modules.py:160-161)."""
@@ -222,7 +227,8 @@ class Generator:
         res = resolution or cfg.resolution
         nc = coarse_samples or cfg.coarse_samples
         nf = fine_samples or cfg.fine_samples
-        focal = res / 2.0 / math.tan(cfg.fov / 2.0 * math.pi / 180.0)
+        fov = fov if fov is not None else cfg.fov
+        focal = res / 2.0 / math.tan(fov / 2.0 * math.pi / 180.0)
 
         poses = jax.vmap(lambda t, p: ray_ops.camera_pose(1.0, t, p))(theta, phi)
         rays_o, rays_d = jax.vmap(
@@ -339,6 +345,7 @@ class Discriminator:
         h = jax.nn.leaky_relu(h + res, 0.2)
         return avg_pool2(h)
 
+    @partial(jax.jit, static_argnames=("self", "resolution"))
     def apply(self, params, x, resolution: int, alpha=-1.0):
         step = self.n_layers - int(math.log2(resolution)) + 1
         h = jax.nn.leaky_relu(_conv(params["adapters"][step], x), 0.2)

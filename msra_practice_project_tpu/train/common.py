@@ -37,6 +37,13 @@ def interp_lr(lr0: float, lr_end: float, decay_thousands: float,
 
 
 def adam(learning_rate, betas=(0.9, 0.999)):
+    """Adam; a float lr is wrapped in a constant schedule so the optimizer
+    state pytree has the same structure whether or not a decay schedule is
+    used (keeps checkpoints interchangeable across drivers)."""
+    if not callable(learning_rate):
+        lr_value = float(learning_rate)
+        def learning_rate(step):  # noqa: F811 - constant schedule
+            return lr_value
     return optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=1e-8)
 
 

@@ -1,0 +1,266 @@
+"""pi-GAN training: progressive-resolution adversarial training.
+
+TPU re-design of pi_GAN/train.py + pi_GAN/utils.py:
+  * The generator renders the whole latent batch in one traced computation
+    (no per-sample Python loop) — see models/pigan.py.
+  * Non-saturating losses with the reference's exact sign convention
+    (pi_GAN/utils.py:28-29, train.py:117,133):
+        loss_f(u) = -softplus(-u)
+        d_loss = -E[loss_f(D(fake))] - E[loss_f(-D(real))] + lambda*R1
+        g_loss =  E[loss_f(D(fake))]
+  * R1 gradient penalty on real images via jax.grad-through-jax.grad
+    (pi_GAN/utils.py:32-37), lambda = 1.
+  * Progressive stages from config lists (iterations/fade_in_itrs/batch_size/
+    resolution, pi_GAN/train.py:30-33): resolution is static per stage — one
+    XLA program per stage, recompiled at each of the (few) stage switches.
+  * Dual Adam (betas (0, 0.9)) with the interpolated exponential decay
+    (pi_GAN/train.py:138-147).
+
+Run: python -m msra_practice_project_tpu.train.train_pigan configs/pi_gan/test.json
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import ckpt as ckpt_lib
+from ..core import image_io
+from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir, save_config
+from ..core.logging import log_print
+from ..data.image_folder import ImageFolder, make_synthetic_faces
+from ..models import pigan
+from . import common
+
+
+def loss_f(u):
+    """-softplus(-u) == log sigmoid(u) (ref: pi_GAN/utils.py:28-29)."""
+    return -jax.nn.softplus(-u)
+
+
+def r1_penalty(d_apply, d_params, real, resolution, alpha):
+    """E[||grad_x D(x)||^2] (ref: pi_GAN/utils.py:32-37)."""
+    def score_sum(x):
+        return d_apply(d_params, x, resolution, alpha).sum()
+
+    grads = jax.grad(score_sum)(real)
+    g = grads.reshape(real.shape[0], -1)
+    return jnp.mean(jnp.sum(g * g, axis=-1))
+
+
+def make_gan_steps(generator: pigan.Generator,
+                   discriminator: pigan.Discriminator,
+                   g_tx, d_tx, resolution: int, r1_lambda: float = 1.0):
+    """Jitted (d_step, g_step) for a progressive stage (static resolution)."""
+    g_apply = generator.apply
+    d_apply = discriminator.apply
+
+    @jax.jit
+    def d_step(d_state, g_params, real, z, key, alpha):
+        def loss_fn(d_params):
+            fake = g_apply(jax.lax.stop_gradient(g_params), key, z,
+                           resolution)
+            fake_label = d_apply(d_params, fake, resolution, alpha)
+            real_label = d_apply(d_params, real, resolution, alpha)
+            r1 = r1_penalty(d_apply, d_params, real, resolution, alpha)
+            loss = (-jnp.mean(loss_f(fake_label))
+                    - jnp.mean(loss_f(-real_label)) + r1_lambda * r1)
+            return loss, {"d_loss": loss, "r1": r1,
+                          "real_label": jnp.mean(real_label),
+                          "fake_label": jnp.mean(fake_label)}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_state["params"])
+        updates, opt_state = d_tx.update(grads, d_state["opt_state"],
+                                         d_state["params"])
+        return {
+            "params": optax.apply_updates(d_state["params"], updates),
+            "opt_state": opt_state,
+            "step": d_state["step"] + 1,
+        }, metrics
+
+    @jax.jit
+    def g_step(g_state, d_params, z, key, alpha):
+        def loss_fn(g_params):
+            fake = g_apply(g_params, key, z, resolution)
+            fake_label = d_apply(jax.lax.stop_gradient(d_params), fake,
+                                 resolution, alpha)
+            loss = jnp.mean(loss_f(fake_label))
+            return loss, {"g_loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            g_state["params"])
+        updates, opt_state = g_tx.update(grads, g_state["opt_state"],
+                                         g_state["params"])
+        return {
+            "params": optax.apply_updates(g_state["params"], updates),
+            "opt_state": opt_state,
+            "step": g_state["step"] + 1,
+        }, metrics
+
+    return d_step, g_step
+
+
+def save_demo_grid(generator, g_params, key, path, rows=4, cols=4,
+                   resolution=None):
+    """rows x cols random-sample grid (ref: pi_GAN/utils.py:185-204)."""
+    num = rows * cols
+    kz, kp, kr = jax.random.split(key, 3)
+    z = jax.random.normal(kz, (num, generator.cfg.z_dim))
+    film = generator.get_mapping(g_params, z)
+    theta, phi = generator.sample_poses(kp, num)
+    imgs = np.asarray(generator.render_film(g_params, kr, film, theta, phi,
+                                            resolution))
+    rows_img = [np.concatenate(list(imgs[i * cols:(i + 1) * cols]), axis=1)
+                for i in range(rows)]
+    image_io.imwrite(path, np.concatenate(rows_img, axis=0))
+
+
+def stage_of(global_step: int, iterations: list[int]) -> int:
+    """iterations already [0]-prefixed (ref: pi_GAN/train.py:44,79-84)."""
+    stage = 0
+    for i in range(len(iterations)):
+        if global_step > iterations[i]:
+            stage = i
+        else:
+            break
+    return stage
+
+
+def train(config) -> dict:
+    log_path = log_dir(config)
+    os.makedirs(log_path, exist_ok=True)
+    save_config(config, log_path)
+
+    iterations = [0] + list(config.iterations)
+    fade_in_itrs = list(config.fade_in_itrs)
+    batch_sizes = list(config.batch_size)
+    resolutions = list(config.resolution)
+
+    gen_cfg = pigan.GeneratorConfig(
+        z_dim=config.z_dim, resolution=resolutions[0],
+        near=config.render_near, far=config.render_far, fov=12.0,
+        coarse_samples=config.render_coarse_sample_num,
+        fine_samples=config.render_fine_sample_num,
+        horizontal_std=0.45, vertical_std=0.15, use_dir=config.use_dir)
+    generator = pigan.Generator(gen_cfg)
+    discriminator = pigan.Discriminator()
+
+    seed = config.get("seed", 0)
+    key = jax.random.PRNGKey(seed)
+    kg, kd, ksteps = jax.random.split(key, 3)
+    g_sched = common.interp_lr(config.generator_lr, config.generator_lr_end,
+                               config.lr_decay)
+    d_sched = common.interp_lr(config.discriminator_lr,
+                               config.discriminator_lr_end, config.lr_decay)
+    g_tx = common.adam(g_sched, betas=(0.0, 0.9))
+    d_tx = common.adam(d_sched, betas=(0.0, 0.9))
+    g_state = common.init_state(generator.init(kg), g_tx)
+    d_state = common.init_state(discriminator.init(kd), d_tx)
+
+    state = {"g": g_state, "d": d_state, "step": 0,
+             "loss_log": {"g_loss": [], "d_loss": []}}
+    # loss_log lists are python floats; keep them out of the restored pytree
+    # shape-check by storing separately.
+    found = ckpt_lib.restore_latest(log_path, {"g": g_state, "d": d_state,
+                                               "step": 0})
+    loss_log = {"g_loss": [], "d_loss": []}
+    if found is not None:
+        global_step, restored = found
+        g_state, d_state = restored["g"], restored["d"]
+        log_print(f"Resumed at step {global_step}")
+    else:
+        global_step = 0
+
+    data_path = config["data_path"]
+    if not os.path.isdir(data_path):
+        log_print(f"[data] {data_path!r} not found - generating synthetic "
+                  "face blobs")
+        data_path = os.path.join(log_path, "_synthetic_faces")
+        if not os.path.isdir(data_path):
+            make_synthetic_faces(data_path, n=config.get("data_n", 256))
+
+    stage = stage_of(global_step, iterations)
+    dataset = ImageFolder(data_path, batch_sizes[stage],
+                          resize=resolutions[stage] / 64.0)
+    d_step_fn, g_step_fn = make_gan_steps(generator, discriminator, g_tx,
+                                          d_tx, resolutions[stage])
+    log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
+              f"resolution:{resolutions[stage]}")
+
+    m_d = {"d_loss": jnp.nan}
+    m_g = {"g_loss": jnp.nan}
+    for global_step in range(global_step + 1, iterations[-1] + 1):
+        epoch_idx, batch_idx, real = dataset.get()
+        real = jnp.transpose(real, (0, 3, 1, 2))  # NHWC -> NCHW
+
+        # fade-in alpha ramp (ref: pi_GAN/train.py:96-98)
+        fade_alpha = -1.0
+        if (fade_in_itrs[stage] > 0
+                and global_step < iterations[stage] + fade_in_itrs[stage]):
+            fade_alpha = ((global_step - iterations[stage])
+                          / fade_in_itrs[stage])
+
+        k = jax.random.fold_in(ksteps, global_step)
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        z = jax.random.normal(k1, (batch_sizes[stage], config.z_dim))
+        d_state, m_d = d_step_fn(d_state, g_state["params"], real, z, k2,
+                                 fade_alpha)
+        z = jax.random.normal(k3, (batch_sizes[stage], config.z_dim))
+        g_state, m_g = g_step_fn(g_state, d_state["params"], z, k4,
+                                 fade_alpha)
+        loss_log["d_loss"].append(float(m_d["d_loss"]))
+        loss_log["g_loss"].append(float(m_g["g_loss"]))
+
+        # stage switch (ref: pi_GAN/train.py:149-156)
+        if (stage + 1 < len(iterations)
+                and global_step == iterations[stage + 1]):
+            stage += 1
+            if stage < len(resolutions):
+                dataset = ImageFolder(data_path, batch_sizes[stage],
+                                      resize=resolutions[stage] / 64.0)
+                d_step_fn, g_step_fn = make_gan_steps(
+                    generator, discriminator, g_tx, d_tx, resolutions[stage])
+                log_print(f"[Train] Entering stage {stage}, batch_size:"
+                          f"{batch_sizes[stage]}, resolution:"
+                          f"{resolutions[stage]}")
+
+        if global_step % config.i_print == 0:
+            log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx})"
+                      f" d_loss: {float(m_d['d_loss'])} "
+                      f"g_loss: {float(m_g['g_loss'])}")
+        if global_step % config.i_save == 0:
+            p = ckpt_lib.save(log_path, global_step,
+                              {"g": g_state, "d": d_state,
+                               "step": global_step})
+            np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
+            log_print(f"Saved checkpoints at {p}")
+        if global_step % config.i_image == 0:
+            # stage can equal len(resolutions) on the very last step (the
+            # final switch has no next stage) — render at the last res.
+            res_now = resolutions[min(stage, len(resolutions) - 1)]
+            save_demo_grid(
+                generator, g_state["params"],
+                jax.random.fold_in(k, 99),
+                os.path.join(log_path, f"{global_step:06d}.png"),
+                resolution=res_now)
+
+    np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
+    return {"g_state": g_state, "d_state": d_state, "loss_log": loss_log,
+            "generator": generator, "discriminator": discriminator}
+
+
+def main(argv=None):
+    config = common.parse_cli(argv if argv is not None else sys.argv[1:],
+                              PIGAN_TRAIN_DEFAULTS)
+    train(config)
+
+
+if __name__ == "__main__":
+    main()

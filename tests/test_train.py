@@ -1,0 +1,166 @@
+"""End-to-end trainer smoke tests (tiny workloads, virtual CPU backend)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from msra_practice_project_tpu.core.config import (
+    Config, NERF_TRAIN_DEFAULTS, PIGAN_TRAIN_DEFAULTS, SIREN_IMG_DEFAULTS,
+    SIREN_SDF_DEFAULTS, resolve,
+)
+
+
+def _cfg(tmp_path, name, defaults, **kw):
+    cfg = resolve({"output_path": str(tmp_path), "experiment_name": name,
+                   **kw}, defaults)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# SIREN image fitting
+# ---------------------------------------------------------------------------
+
+
+def test_train_img_converges(tmp_path):
+    from msra_practice_project_tpu.train import train_img
+
+    cfg = _cfg(tmp_path, "img", SIREN_IMG_DEFAULTS, iterations=150,
+               batch_size=1024, i_print=1000, i_save=150, i_image=150,
+               data_size=32)
+    out = train_img.train(cfg)
+    psnr = out["log"]["psnr"]
+    assert psnr[-1] > psnr[0] + 5, f"PSNR did not improve: {psnr[0]} -> {psnr[-1]}"
+    log = tmp_path / "img"
+    assert (log / "000150.ckpt").exists()
+    assert (log / "000150.png").exists()
+    assert (log / "log.npy").exists()
+    assert (log / "config.json").exists()
+
+
+def test_train_img_resume(tmp_path):
+    from msra_practice_project_tpu.train import train_img
+
+    cfg = _cfg(tmp_path, "img", SIREN_IMG_DEFAULTS, iterations=20,
+               batch_size=256, i_print=1000, i_save=20, i_image=1000,
+               data_size=16)
+    train_img.train(cfg)
+    cfg2 = Config(cfg)
+    cfg2["iterations"] = 40
+    out = train_img.train(cfg2)
+    # resumed from 20 -> only 20 more steps logged
+    assert len(out["log"]["loss"]) == 20
+    assert int(out["state"]["step"]) == 40
+
+
+# ---------------------------------------------------------------------------
+# SDF fitting
+# ---------------------------------------------------------------------------
+
+
+def test_train_sdf_smoke(tmp_path):
+    from msra_practice_project_tpu.train import train_sdf
+
+    cfg = _cfg(tmp_path, "sdf", SIREN_SDF_DEFAULTS, iterations=30,
+               batch_size=512, i_print=1000, i_save=30, i_mesh=30,
+               mesh_n=24, final_mesh_n=24, data_points=2048, data_path="")
+    out = train_sdf.train(cfg)
+    losses = out["log"]["loss"]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert (tmp_path / "sdf" / "test.ply").exists()
+
+
+# ---------------------------------------------------------------------------
+# NeRF
+# ---------------------------------------------------------------------------
+
+
+def test_train_nerf_smoke(tmp_path):
+    from msra_practice_project_tpu.train import train_nerf
+
+    cfg = _cfg(tmp_path, "nerf", NERF_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=12, batch_size=64,
+               start_up_itrs=4, render_coarse_sample_num=4,
+               render_fine_sample_num=8, i_print=100, i_save=12, i_image=12,
+               data_size=16)
+    out = train_nerf.train(cfg)
+    assert np.isfinite(out["log"]["loss"]).all()
+    log = tmp_path / "nerf"
+    assert (log / "000012.ckpt").exists()
+    assert (log / "000012.png").exists()
+    # resolved config written back with chosen train indices
+    written = json.load(open(log / "config.json"))
+    assert "data_train_idx" in written
+
+
+def test_train_nerf_no_fine_and_alpha(tmp_path):
+    from msra_practice_project_tpu.train import train_nerf
+
+    cfg = _cfg(tmp_path, "nerf_nf", NERF_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=6, batch_size=32,
+               start_up_itrs=0, render_coarse_sample_num=4,
+               render_fine_sample_num=4, use_fine_model=False,
+               use_alpha=True, i_print=100, i_save=100, i_image=100,
+               data_size=16)
+    out = train_nerf.train(cfg)
+    assert np.isfinite(out["log"]["loss"]).all()
+
+
+def test_train_nerf_sharded_batch(tmp_path):
+    """batch divisible by 8 virtual devices -> DP path executes."""
+    import jax
+    from msra_practice_project_tpu.train import train_nerf
+
+    assert len(jax.devices()) == 8
+    cfg = _cfg(tmp_path, "nerf_dp", NERF_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=4, batch_size=64,
+               start_up_itrs=0, render_coarse_sample_num=4,
+               render_fine_sample_num=4, i_print=100, i_save=100,
+               i_image=100, data_size=16)
+    out = train_nerf.train(cfg)
+    assert np.isfinite(out["log"]["loss"]).all()
+
+
+# ---------------------------------------------------------------------------
+# pi-GAN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pigan_run(tmp_path_factory):
+    from msra_practice_project_tpu.train import train_pigan
+
+    tmp_path = tmp_path_factory.mktemp("pigan")
+    cfg = resolve({
+        "output_path": str(tmp_path), "experiment_name": "pigan",
+        "data_path": "/nonexistent", "z_dim": 32,
+        "render_coarse_sample_num": 2, "render_fine_sample_num": 4,
+        "iterations": [6, 10], "fade_in_itrs": [0, 4],
+        "batch_size": [4, 2], "resolution": [8, 16],
+        "i_print": 100, "i_save": 10, "i_image": 100, "data_n": 8,
+    }, PIGAN_TRAIN_DEFAULTS)
+    from msra_practice_project_tpu.train.train_pigan import train
+    out = train(cfg)
+    return cfg, out, tmp_path
+
+
+def test_train_pigan_smoke(pigan_run):
+    cfg, out, tmp_path = pigan_run
+    assert np.isfinite(out["loss_log"]["d_loss"]).all()
+    assert np.isfinite(out["loss_log"]["g_loss"]).all()
+    assert len(out["loss_log"]["d_loss"]) == 10
+    assert (tmp_path / "pigan" / "000010.ckpt").exists()
+
+
+def test_pigan_d_and_g_both_learn(pigan_run):
+    """Both param sets moved during adversarial training."""
+    import jax
+    cfg, out, _ = pigan_run
+    g_leaves = jax.tree_util.tree_leaves(out["g_state"]["params"])
+    d_leaves = jax.tree_util.tree_leaves(out["d_state"]["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in g_leaves)
+    assert all(np.isfinite(np.asarray(x)).all() for x in d_leaves)
+    assert int(out["g_state"]["step"]) == 10
+    assert int(out["d_state"]["step"]) == 10
