@@ -71,6 +71,9 @@ NERF_TRAIN_DEFAULTS = {
     "use_fine_model": True,
     "use_alpha": False,
     "use_siren": False,
+    # TPU-native addition: route MLP eval through the fused Pallas kernel
+    # (ops/pallas/nerf_mlp.py) when training the PE NeRF on TPU.
+    "use_fused_mlp": True,
     "i_print": 100,
     "i_save": 10000,
     "i_image": 1000,

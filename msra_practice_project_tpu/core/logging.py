@@ -16,14 +16,33 @@ import numpy as np
 
 
 class MetricLogger:
+    """Appends are LAZY: device scalars are stored as-is and only converted
+    to python floats in batches (at print/save cadence).  Converting every
+    step would force a host<->device sync per step — ~35 ms of round-trip
+    latency per step through the TPU tunnel, more than the step itself.
+    """
+
     def __init__(self, keys):
-        self.data = {k: [] for k in keys}
+        self._data = {k: [] for k in keys}
+        self._pending = 0
         self._t0 = time.perf_counter()
         self._last = self._t0
 
     def append(self, **kv):
         for k, v in kv.items():
-            self.data[k].append(float(v))
+            self._data[k].append(v)
+        self._pending += 1
+
+    def flush(self):
+        if self._pending:
+            for k, vs in self._data.items():
+                self._data[k] = [float(v) for v in vs]
+            self._pending = 0
+
+    @property
+    def data(self) -> dict:
+        self.flush()
+        return self._data
 
     def step_time(self) -> float:
         now = time.perf_counter()
@@ -32,9 +51,10 @@ class MetricLogger:
         return dt
 
     def save(self, log_path: str, name: str = "log.npy") -> str:
+        self.flush()
         os.makedirs(log_path, exist_ok=True)
         path = os.path.join(log_path, name)
-        np.save(path, self.data)  # same format as the reference's log.npy
+        np.save(path, self._data)  # same format as the reference's log.npy
         return path
 
     @staticmethod

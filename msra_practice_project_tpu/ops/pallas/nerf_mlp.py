@@ -1,0 +1,407 @@
+"""Fused NeRF-MLP Pallas kernel (forward + custom-VJP backward).
+
+The NeRF hot loop evaluates a 13-matmul MLP on ~260k points per train step
+(SURVEY.md §3.1).  The pure-XLA path round-trips every layer activation
+through HBM (26 x [N, 256] tensors for fwd+bwd); this kernel keeps ALL
+weights (~2.4 MB) resident in VMEM and streams point tiles through the whole
+network in one pass:
+
+  * Positional encoding is computed as `sin(x @ F + phase)` — one matmul +
+    one transcendental — instead of 2*L slice-wise sin/cos writes; cos(v) is
+    encoded as sin(v + pi/2).  The basis F also absorbs the input padding
+    (6 -> 8 lanes) and PE padding (60 -> 64, 24 -> 32 lanes).
+  * The skip concat [e_pos, h] @ W5 (nerf/nerf.py:84) is split into
+    e_pos @ W5a + h @ W5b, avoiding the concat entirely; likewise the
+    view-dir concat at the rgb branch (nerf/nerf.py:90).
+  * Matmuls run in bf16 with fp32 accumulation (MXU native rate); biases,
+    activations-at-rest and outputs stay fp32.
+  * The backward kernel recomputes the forward per tile (flash-style) and
+    accumulates dW/db across the sequential TPU grid in the output refs,
+    plus exact dx through the PE basis.
+
+Numerical contract: matches models/nerf.py apply to ~1e-2 absolute (bf16
+matmuls); with bf16=False it matches to fp32 roundoff.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+IN_PAD = 8       # [pos(3), dir(3), pad(2)]
+PE_POS = 64      # 60 used
+PE_DIR = 32      # 24 used
+HID = 256
+RGB_HID = 128
+OUT_PAD = 8      # [rgb(3), sigma(1), pad(4)]
+TILE = 512
+
+
+def _pe_basis(input_offset: int, length: int, width: int):
+    """Exact PE as matmuls: freq basis F [IN_PAD, fw] producing the 3*length
+    products 2^i * x_d, plus sin/cos placement matrices Ssin/Scos [fw, width]
+    scattering them into the reference's interleaved [sin_i(3), cos_i(3)]
+    column layout.  pe = sin(x@F) @ Ssin + cos(x@F) @ Scos is then BITWISE
+    equal to the reference PE (no sin(v+pi/2) approximation of cos — a 1-ulp
+    difference there flips relu masks at the boundary).
+    """
+    n_freq = 3 * length
+    fw = -(-n_freq // 8) * 8  # pad product lanes to a multiple of 8
+    F = np.zeros((IN_PAD, fw), np.float32)
+    Ssin = np.zeros((fw, width), np.float32)
+    Scos = np.zeros((fw, width), np.float32)
+    for i in range(length):
+        for d in range(3):
+            prod = i * 3 + d
+            F[input_offset + d, prod] = 2.0**i
+            Ssin[prod, i * 6 + d] = 1.0
+            Scos[prod, i * 6 + 3 + d] = 1.0
+    return F, Ssin, Scos
+
+
+def pack_nerf_params(params):
+    """models/nerf.py param pytree -> padded dense arrays for the kernel."""
+    lp = params["layers_pos"]
+    ld = params["layers_dir"]
+
+    def pad(w, rows, cols):
+        return jnp.zeros((rows, cols), jnp.float32).at[
+            : w.shape[0], : w.shape[1]].set(w)
+
+    w5 = lp[5]["w"]  # [316, 256] = [60 pe | 256 h]
+    w9 = ld[1]["w"]  # [280, 128] = [256 h | 24 pe_dir]
+    return dict(
+        W0=pad(lp[0]["w"], PE_POS, HID), b0=lp[0]["b"][None],
+        W1=lp[1]["w"], b1=lp[1]["b"][None],
+        W2=lp[2]["w"], b2=lp[2]["b"][None],
+        W3=lp[3]["w"], b3=lp[3]["b"][None],
+        W4=lp[4]["w"], b4=lp[4]["b"][None],
+        W5a=pad(w5[:60], PE_POS, HID), W5b=w5[60:], b5=lp[5]["b"][None],
+        W6=lp[6]["w"], b6=lp[6]["b"][None],
+        W7=lp[7]["w"], b7=lp[7]["b"][None],
+        W8=ld[0]["w"], b8=ld[0]["b"][None],
+        W9a=w9[:HID], W9b=pad(w9[HID:], PE_DIR, RGB_HID),
+        b9=ld[1]["b"][None],
+        Ws=pad(params["sigma"]["w"], HID, OUT_PAD),
+        bs=pad(params["sigma"]["b"][None], 1, OUT_PAD),
+        Wr=pad(params["rgb"]["w"], RGB_HID, OUT_PAD),
+        br=pad(params["rgb"]["b"][None], 1, OUT_PAD),
+    )
+
+
+PACK_KEYS = ["W0", "b0", "W1", "b1", "W2", "b2", "W3", "b3", "W4", "b4",
+             "W5a", "W5b", "b5", "W6", "b6", "W7", "b7", "W8", "b8",
+             "W9a", "W9b", "b9", "Ws", "bs", "Wr", "br"]
+
+
+def _mm(a, b, bf16):
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    # NOTE: on compiled Mosaic, an f32 dot lowers to single-pass bf16
+    # multiplies anyway (HIGHEST-precision lowering hangs the compiler for
+    # these shapes), so compiled fp32 ~ bf16 accuracy; interpret mode (used
+    # by the parity tests) is exact fp32.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _pe_tile(x, F, Ssin, Scos):
+    """Exact PE: all three matmuls have one nonzero term per output column,
+    so fp32 keeps them bitwise-identical to the reference's 2^i*x sin/cos."""
+    P = _mm(x, F, False)
+    return _mm(jnp.sin(P), Ssin, False) + _mm(jnp.cos(P), Scos, False)
+
+
+def _forward_tile(x, w, bf16):
+    """Shared forward math on one [T, IN_PAD] tile.  Returns activation dict
+    (used both by the fwd kernel and the bwd recompute)."""
+    pe_p = _pe_tile(x, w["Fp"], w["Sp_sin"], w["Sp_cos"])
+    pe_d = _pe_tile(x, w["Fd"], w["Sd_sin"], w["Sd_cos"])
+    h0 = jax.nn.relu(_mm(pe_p, w["W0"], bf16) + w["b0"])
+    h1 = jax.nn.relu(_mm(h0, w["W1"], bf16) + w["b1"])
+    h2 = jax.nn.relu(_mm(h1, w["W2"], bf16) + w["b2"])
+    h3 = jax.nn.relu(_mm(h2, w["W3"], bf16) + w["b3"])
+    h4 = jax.nn.relu(_mm(h3, w["W4"], bf16) + w["b4"])
+    h5 = jax.nn.relu(_mm(pe_p, w["W5a"], bf16)
+                     + _mm(h4, w["W5b"], bf16) + w["b5"])
+    h6 = jax.nn.relu(_mm(h5, w["W6"], bf16) + w["b6"])
+    h7 = jax.nn.relu(_mm(h6, w["W7"], bf16) + w["b7"])
+    sig = jax.nn.relu(_mm(h7, w["Ws"], bf16) + w["bs"])
+    hd = _mm(h7, w["W8"], bf16) + w["b8"]
+    h9 = jax.nn.relu(_mm(hd, w["W9a"], bf16)
+                     + _mm(pe_d, w["W9b"], bf16) + w["b9"])
+    rgb = jax.nn.sigmoid(_mm(h9, w["Wr"], bf16) + w["br"])
+    return dict(pe_p=pe_p, pe_d=pe_d, h0=h0, h1=h1, h2=h2, h3=h3, h4=h4,
+                h5=h5, h6=h6, h7=h7, sig=sig, hd=hd, h9=h9, rgb=rgb)
+
+
+PE_NAMES = ["Fp", "Sp_sin", "Sp_cos", "Fd", "Sd_sin", "Sd_cos"]
+_N_W = len(PE_NAMES) + len(PACK_KEYS)
+
+
+def _fwd_kernel(bf16, *refs):
+    x_ref = refs[0]
+    names = PE_NAMES + PACK_KEYS
+    w = {k: refs[1 + i][:] for i, k in enumerate(names)}
+    out_ref = refs[1 + _N_W]
+    acts = _forward_tile(x_ref[:], w, bf16)
+    # out = [rgb(3), sigma(1), pad]: rgb head already padded to OUT_PAD with
+    # zero weight cols -> cols 3.. of rgb are sigmoid(0)=0.5; mask them and
+    # place sigma from its padded head (col 0 of sig).
+    lane = jax.lax.broadcasted_iota(jnp.int32, acts["rgb"].shape, 1)
+    out = jnp.where(lane < 3, acts["rgb"], 0.0)
+    out = jnp.where(lane == 3, acts["sig"][:, 0][:, None], out)
+    out_ref[:] = out
+
+
+def _grid_specs(n_tiles):
+    names_in = [
+        pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_W
+    out_spec = pl.BlockSpec((TILE, OUT_PAD), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.GridSpec(grid=(n_tiles,), in_specs=names_in,
+                       out_specs=out_spec)
+
+
+@partial(jax.jit, static_argnames=("bf16", "interpret"))
+def _fused_forward(x_pad, weights, bf16=True, interpret=False):
+    n = x_pad.shape[0]
+    n_tiles = n // TILE
+    out = pl.pallas_call(
+        partial(_fwd_kernel, bf16),
+        grid_spec=_grid_specs(n_tiles),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+        interpret=interpret,
+    )(x_pad, *weights)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute + accumulate dW across the sequential grid.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(bf16, *refs):
+    x_ref = refs[0]
+    names = PE_NAMES + PACK_KEYS
+    w = {k: refs[1 + i][:] for i, k in enumerate(names)}
+    dy_ref = refs[1 + _N_W]
+    # outputs: dx, then d<param> for each PACK_KEY
+    dx_ref = refs[2 + _N_W]
+    dword = {k: refs[3 + _N_W + i] for i, k in enumerate(PACK_KEYS)}
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in PACK_KEYS:
+            dword[k][:] = jnp.zeros_like(dword[k])
+
+    x = x_ref[:]
+    a = _forward_tile(x, w, bf16)
+    dy = dy_ref[:]
+
+    def mmT_acc(act, delta):  # dW = act^T @ delta
+        lhs = act.astype(jnp.bfloat16) if bf16 else act
+        rhs = delta.astype(jnp.bfloat16) if bf16 else delta
+        return jax.lax.dot_general(
+            lhs, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mmB(delta, wmat):  # dh = delta @ W^T
+        lhs = delta.astype(jnp.bfloat16) if bf16 else delta
+        rhs = (wmat.astype(jnp.bfloat16) if bf16 else wmat)
+        return jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1)
+    drgb = jnp.where(lane < 3, dy, 0.0)
+    dsig_col = jnp.where(lane == 3, dy, 0.0)  # sigma grad sits in col 3
+    # route sigma grad to col 0 of the padded sigma head
+    dsig = jnp.sum(dsig_col, axis=1, keepdims=True) * (a["sig"][:, :1] > 0)
+    dsig = jnp.pad(dsig, ((0, 0), (0, OUT_PAD - 1)))
+
+    dr_pre = drgb * a["rgb"] * (1.0 - a["rgb"])
+    dword["Wr"][:] += mmT_acc(a["h9"], dr_pre)
+    dword["br"][:] += jnp.sum(dr_pre, axis=0, keepdims=True)
+    dh9 = mmB(dr_pre, w["Wr"]) * (a["h9"] > 0)
+
+    dword["W9a"][:] += mmT_acc(a["hd"], dh9)
+    dword["W9b"][:] += mmT_acc(a["pe_d"], dh9)
+    dword["b9"][:] += jnp.sum(dh9, axis=0, keepdims=True)
+    dhd = mmB(dh9, w["W9a"])
+    dpe_d = mmB(dh9, w["W9b"])
+
+    dword["Ws"][:] += mmT_acc(a["h7"], dsig)
+    dword["W8"][:] += mmT_acc(a["h7"], dhd)
+    dword["bs"][:] += jnp.sum(dsig, axis=0, keepdims=True)
+    dword["b8"][:] += jnp.sum(dhd, axis=0, keepdims=True)
+    dh7 = (mmB(dsig, w["Ws"]) + mmB(dhd, w["W8"])) * (a["h7"] > 0)
+
+    dword["W7"][:] += mmT_acc(a["h6"], dh7)
+    dword["b7"][:] += jnp.sum(dh7, axis=0, keepdims=True)
+    dh6 = mmB(dh7, w["W7"]) * (a["h6"] > 0)
+
+    dword["W6"][:] += mmT_acc(a["h5"], dh6)
+    dword["b6"][:] += jnp.sum(dh6, axis=0, keepdims=True)
+    dh5 = mmB(dh6, w["W6"]) * (a["h5"] > 0)
+
+    dword["W5a"][:] += mmT_acc(a["pe_p"], dh5)
+    dword["W5b"][:] += mmT_acc(a["h4"], dh5)
+    dword["b5"][:] += jnp.sum(dh5, axis=0, keepdims=True)
+    dpe_p = mmB(dh5, w["W5a"])
+    dh4 = mmB(dh5, w["W5b"]) * (a["h4"] > 0)
+
+    dword["W4"][:] += mmT_acc(a["h3"], dh4)
+    dword["b4"][:] += jnp.sum(dh4, axis=0, keepdims=True)
+    dh3 = mmB(dh4, w["W4"]) * (a["h3"] > 0)
+
+    dword["W3"][:] += mmT_acc(a["h2"], dh3)
+    dword["b3"][:] += jnp.sum(dh3, axis=0, keepdims=True)
+    dh2 = mmB(dh3, w["W3"]) * (a["h2"] > 0)
+
+    dword["W2"][:] += mmT_acc(a["h1"], dh2)
+    dword["b2"][:] += jnp.sum(dh2, axis=0, keepdims=True)
+    dh1 = mmB(dh2, w["W2"]) * (a["h1"] > 0)
+
+    dword["W1"][:] += mmT_acc(a["h0"], dh1)
+    dword["b1"][:] += jnp.sum(dh1, axis=0, keepdims=True)
+    dh0 = mmB(dh1, w["W1"]) * (a["h0"] > 0)
+
+    dword["W0"][:] += mmT_acc(a["pe_p"], dh0)
+    dword["b0"][:] += jnp.sum(dh0, axis=0, keepdims=True)
+    dpe_p += mmB(dh0, w["W0"])
+
+    # back through the PE bases: pe = sin(P)@Ssin + cos(P)@Scos, P = x@F
+    def pe_bwd(dpe, F, Ssin, Scos):
+        P = _mm(x, F, False)
+        dsp = jax.lax.dot_general(dpe, Ssin, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dcp = jax.lax.dot_general(dpe, Scos, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dP = dsp * jnp.cos(P) - dcp * jnp.sin(P)
+        return jax.lax.dot_general(dP, F, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    dx_ref[:] = (pe_bwd(dpe_p, w["Fp"], w["Sp_sin"], w["Sp_cos"])
+                 + pe_bwd(dpe_d, w["Fd"], w["Sd_sin"], w["Sd_cos"]))
+
+
+@partial(jax.jit, static_argnames=("bf16", "interpret"))
+def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
+    n = x_pad.shape[0]
+    n_tiles = n // TILE
+    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                for w in weights[len(PE_NAMES):]]
+    in_specs = (
+        [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_W
+        + [pl.BlockSpec((TILE, OUT_PAD), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_specs = (
+        [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(PACK_KEYS)
+    )
+    out_shape = ([jax.ShapeDtypeStruct((n, IN_PAD), jnp.float32)]
+                 + w_shapes)
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, bf16),
+        grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
+                              out_specs=out_specs),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_pad, *weights, dy)
+    return outs[0], outs[1:]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper operating on the model's param pytree
+# ---------------------------------------------------------------------------
+
+
+_FP, _SP_SIN, _SP_COS = _pe_basis(0, 10, PE_POS)
+_FD, _SD_SIN, _SD_COS = _pe_basis(3, 4, PE_DIR)
+
+
+def _prep(params, x):
+    """Pack params + pad points; returns (weights tuple, x_pad, n, shape)."""
+    packed = pack_nerf_params(params)
+    weights = tuple(jnp.asarray(a) for a in
+                    (_FP, _SP_SIN, _SP_COS, _FD, _SD_SIN, _SD_COS)) + \
+        tuple(packed[k] for k in PACK_KEYS)
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    n = flat.shape[0]
+    n_pad = -(-n // TILE) * TILE
+    x_pad = jnp.zeros((n_pad, IN_PAD), jnp.float32)
+    x_pad = x_pad.at[:n, :6].set(flat)
+    return weights, x_pad, n, shape
+
+
+def _unpack_grads(dw, params):
+    """Padded dense grads -> model param pytree grads."""
+    g = dict(zip(PACK_KEYS, dw))
+    lp = params["layers_pos"]
+    dlp = (
+        {"w": g["W0"][:60], "b": g["b0"][0]},
+        {"w": g["W1"], "b": g["b1"][0]},
+        {"w": g["W2"], "b": g["b2"][0]},
+        {"w": g["W3"], "b": g["b3"][0]},
+        {"w": g["W4"], "b": g["b4"][0]},
+        {"w": jnp.concatenate([g["W5a"][:60], g["W5b"]], axis=0),
+         "b": g["b5"][0]},
+        {"w": g["W6"], "b": g["b6"][0]},
+        {"w": g["W7"], "b": g["b7"][0]},
+    )
+    dld = (
+        {"w": g["W8"], "b": g["b8"][0]},
+        {"w": jnp.concatenate([g["W9a"], g["W9b"][:24]], axis=0),
+         "b": g["b9"][0]},
+    )
+    return {
+        "layers_pos": dlp,
+        "layers_dir": dld,
+        "sigma": {"w": g["Ws"][:, :1], "b": g["bs"][0, :1]},
+        "rgb": {"w": g["Wr"][:, :3], "b": g["br"][0, :3]},
+    }
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_nerf_apply(params, x, bf16=True, interpret=False):
+    """Drop-in replacement for models/nerf.py NeRFModel.apply (PE variant).
+
+    x [..., 6] -> [..., 4].  Differentiable in params and x.
+    """
+    weights, x_pad, n, shape = _prep(params, x)
+    out = _fused_forward(x_pad, weights, bf16, interpret)
+    return out[:n, :4].reshape(*shape[:-1], 4)
+
+
+def _fwd_rule(params, x, bf16, interpret):
+    return fused_nerf_apply(params, x, bf16, interpret), (params, x)
+
+
+def _bwd_rule(bf16, interpret, res, dy):
+    params, x = res
+    weights, x_pad, n, shape = _prep(params, x)
+    dy_flat = dy.reshape(-1, 4)
+    n_pad = x_pad.shape[0]
+    dy_pad = jnp.zeros((n_pad, OUT_PAD), jnp.float32).at[:n, :4].set(dy_flat)
+    dx_pad, dw = _fused_backward(x_pad, weights, dy_pad, bf16, interpret)
+    dx = dx_pad[:n, :6].reshape(shape)
+    return _unpack_grads(dw, params), dx
+
+
+fused_nerf_apply.defvjp(_fwd_rule, _bwd_rule)

@@ -52,7 +52,8 @@ def sample_pdf(bins, weights, n_samples: int):
 
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., B]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., L]
+    L = cdf.shape[-1]
 
     u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
     u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
@@ -61,13 +62,21 @@ def sample_pdf(bins, weights, n_samples: int):
     inds = jnp.sum(
         (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
     )  # [..., n_samples]
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    below = jnp.clip(inds - 1, 0, L - 1)
+    above = jnp.clip(inds, 0, L - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    # TPU NOTE: per-element gathers (take_along_axis) are slow on TPU —
+    # replace them with one-hot contractions, which the MXU eats for free.
+    # `bins` has the same length L as `cdf` in all reference call sites
+    # (mids vs [0|cumsum]), so one one-hot per side serves both lookups.
+    iota = jnp.arange(L)
+    oh_b = (below[..., None] == iota).astype(cdf.dtype)  # [..., n, L]
+    oh_a = (above[..., None] == iota).astype(cdf.dtype)
+    table = jnp.stack([cdf, bins], axis=-1)              # [..., L, 2]
+    gb = oh_b @ table                                    # [..., n, 2]
+    ga = oh_a @ table
+    cdf_b, bins_b = gb[..., 0], gb[..., 1]
+    cdf_a, bins_a = ga[..., 0], ga[..., 1]
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

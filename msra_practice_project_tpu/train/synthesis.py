@@ -114,9 +114,10 @@ def synthesize(config, target_path: str | None = None) -> dict:
     for global_step in range(global_step + 1, iterations + 1):
         syn_state, m = step_fn(syn_state,
                                jax.random.fold_in(key, global_step))
-        loss_log.append(float(m["loss"]))
+        loss_log.append(m["loss"])  # lazy; floats at print/end
         if global_step % I_PRINT == 0:
-            print(f"[Train] Iter: {global_step} loss: {float(m['loss'])}")
+            loss_log[:] = [float(v) for v in loss_log]
+            print(f"[Train] Iter: {global_step} loss: {loss_log[-1]}")
         if global_step % I_SAVE == 0:
             p = ckpt_lib.save(syn_log_path, global_step, syn_state)
             print(f"Saved checkpoints at {p}")
@@ -127,6 +128,7 @@ def synthesize(config, target_path: str | None = None) -> dict:
                            poses, film=syn_state["params"][None],
                            resolution=RESOLUTION)
 
+    loss_log[:] = [float(v) for v in loss_log]
     # Final 128^2 multiview + orbit GIF (ref: synthesis.py:131-139).
     film = syn_state["params"][None]
     demo_multiview(generator, g_params, jax.random.fold_in(key, 10_000_002),

@@ -89,18 +89,30 @@ def build_startup_buffer(images, poses, width, height, focal):
 
 
 def make_train_step(coarse_model, fine_model, tx, cfg):
-    """Returns a jitted step(state, batch [B,10], key) -> (state, metrics)."""
+    """Returns a jitted step(state, batch [B,10], key) -> (state, metrics).
+
+    cfg['use_fused_mlp'] routes the MLP evaluation through the fused Pallas
+    kernel (ops/pallas/nerf_mlp.py): ~1.4x faster fwd+bwd via VMEM-resident
+    weights + bf16 MXU matmuls.  Only valid for the PE (non-siren) NeRF.
+    """
     use_fine = cfg["use_fine_model"]
     use_alpha = cfg["use_alpha"]
     near, far = cfg["render_near"], cfg["render_far"]
     nc, nf = cfg["render_coarse_sample_num"], cfg["render_fine_sample_num"]
+    use_fused = (cfg.get("use_fused_mlp", True)
+                 and not cfg.get("use_siren", False)
+                 and jax.default_backend() == "tpu")
+    if use_fused:
+        from ..ops.pallas.nerf_mlp import fused_nerf_apply
+        apply_c = apply_f = lambda p, x: fused_nerf_apply(p, x, True, False)
+    else:
+        apply_c, apply_f = coarse_model.apply, fine_model.apply
 
     def loss_fn(params, batch, key):
         rays_o, rays_d = batch[:, 0:3], batch[:, 3:6]
         target_rgb, target_alpha = batch[:, 6:9], batch[:, 9]
-        coarse_fn = jax.tree_util.Partial(coarse_model.apply,
-                                          params["coarse"])
-        fine_fn = (jax.tree_util.Partial(fine_model.apply, params["fine"])
+        coarse_fn = jax.tree_util.Partial(apply_c, params["coarse"])
+        fine_fn = (jax.tree_util.Partial(apply_f, params["fine"])
                    if use_fine else coarse_fn)
         out = render_rays(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
                           nc, nf)

@@ -215,8 +215,10 @@ def train(config) -> dict:
         z = jax.random.normal(k3, (batch_sizes[stage], config.z_dim))
         g_state, m_g = g_step_fn(g_state, d_state["params"], z, k4,
                                  fade_alpha)
-        loss_log["d_loss"].append(float(m_d["d_loss"]))
-        loss_log["g_loss"].append(float(m_g["g_loss"]))
+        # lazy append — converted to floats at print/save cadence (a float()
+        # per step would sync the device every step)
+        loss_log["d_loss"].append(m_d["d_loss"])
+        loss_log["g_loss"].append(m_g["g_loss"])
 
         # stage switch (ref: pi_GAN/train.py:149-156)
         if (stage + 1 < len(iterations)
@@ -232,13 +234,15 @@ def train(config) -> dict:
                           f"{resolutions[stage]}")
 
         if global_step % config.i_print == 0:
+            _flush_loss_log(loss_log)
             log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx})"
-                      f" d_loss: {float(m_d['d_loss'])} "
-                      f"g_loss: {float(m_g['g_loss'])}")
+                      f" d_loss: {loss_log['d_loss'][-1]} "
+                      f"g_loss: {loss_log['g_loss'][-1]}")
         if global_step % config.i_save == 0:
             p = ckpt_lib.save(log_path, global_step,
                               {"g": g_state, "d": d_state,
                                "step": global_step})
+            _flush_loss_log(loss_log)
             np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
             log_print(f"Saved checkpoints at {p}")
         if global_step % config.i_image == 0:
@@ -251,9 +255,15 @@ def train(config) -> dict:
                 os.path.join(log_path, f"{global_step:06d}.png"),
                 resolution=res_now)
 
+    _flush_loss_log(loss_log)
     np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
     return {"g_state": g_state, "d_state": d_state, "loss_log": loss_log,
             "generator": generator, "discriminator": discriminator}
+
+
+def _flush_loss_log(loss_log: dict) -> None:
+    for k, vs in loss_log.items():
+        loss_log[k] = [float(v) for v in vs]
 
 
 def main(argv=None):

@@ -1,0 +1,91 @@
+"""Parity tests for the fused Pallas NeRF kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msra_practice_project_tpu.models.nerf import nerf_model
+from msra_practice_project_tpu.ops.pallas.nerf_mlp import (
+    fused_nerf_apply, pack_nerf_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = nerf_model(False)
+    p = m.init(jax.random.PRNGKey(0))
+    return m, p
+
+
+@pytest.mark.parametrize("n", [512, 1024, 700])
+def test_fused_forward_matches_reference(setup, n):
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, 6))
+    ref = m.apply(p, x)
+    out = fused_nerf_apply(p, x, False, True)  # fp32, interpret
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_forward_leading_dims(setup):
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 9, 6))
+    ref = m.apply(p, x)
+    out = fused_nerf_apply(p, x, False, True)
+    assert out.shape == (4, 9, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_param_grads_match(setup):
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(3), (1024, 6))
+
+    gr = jax.grad(lambda p: (m.apply(p, x) ** 2).sum())(p)
+    gf = jax.grad(lambda p: (fused_nerf_apply(p, x, False, True) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gf)):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-4)
+
+
+def test_fused_input_grads_match(setup):
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(4), (700, 6))
+    gxr = jax.grad(lambda x: (m.apply(p, x) ** 2).sum())(x)
+    gxf = jax.grad(lambda x: (fused_nerf_apply(p, x, False, True) ** 2).sum())(x)
+    scale = float(jnp.abs(gxr).max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(gxf) / scale,
+                               np.asarray(gxr) / scale, atol=1e-4)
+
+
+def test_pack_roundtrip_shapes(setup):
+    _, p = setup
+    packed = pack_nerf_params(p)
+    assert packed["W0"].shape == (64, 256)
+    assert packed["W5a"].shape == (64, 256)
+    assert packed["W5b"].shape == (256, 256)
+    assert packed["W9b"].shape == (32, 128)
+    # zero padding rows
+    assert float(jnp.abs(packed["W0"][60:]).max()) == 0.0
+    assert float(jnp.abs(packed["W9b"][24:]).max()) == 0.0
+
+
+def test_fused_inside_render_and_jit(setup):
+    """The kernel must compose with render_rays under jit + grad."""
+    from msra_practice_project_tpu.ops.render import render_rays
+
+    m, p = setup
+    rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, 4.0]), (32, 3))
+    rays_d = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (32, 3))
+
+    @jax.jit
+    def loss(p, key):
+        f = jax.tree_util.Partial(
+            lambda pp, x: fused_nerf_apply(pp, x, False, True), p)
+        out = render_rays(key, rays_o, rays_d, 2.0, 6.0, f, f, 8, 16)
+        return (out["rgb_fine"] ** 2).sum()
+
+    g = jax.grad(loss)(p, jax.random.PRNGKey(0))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
