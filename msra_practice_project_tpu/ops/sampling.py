@@ -47,12 +47,19 @@ def sample_pdf(bins, weights, n_samples: int):
     (nerf/render.py:141); we stop-grad the inputs which is equivalent and
     keeps XLA from building a dead backward graph.
     """
+    if weights.shape[-1] != bins.shape[-1] - 1:
+        raise ValueError(
+            f"sample_pdf expects len(weights) == len(bins)-1, got "
+            f"{weights.shape[-1]} vs {bins.shape[-1]}")
     bins = jax.lax.stop_gradient(bins)
     weights = jax.lax.stop_gradient(weights) + 1e-5
 
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., L]
+    # explicit shape for the leading zero: zeros_like(cdf[..., :1]) would be
+    # EMPTY when weights has zero length (the nc=2 degenerate case)
+    cdf = jnp.concatenate(
+        [jnp.zeros((*cdf.shape[:-1], 1), cdf.dtype), cdf], axis=-1)
     L = cdf.shape[-1]
 
     u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)

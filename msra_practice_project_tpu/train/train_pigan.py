@@ -194,6 +194,21 @@ def train(config) -> dict:
     log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
               f"resolution:{resolutions[stage]}")
 
+    # Data parallelism: latents + real images shard over the 'data' mesh
+    # axis, parameters replicate, XLA reduces gradients over ICI (the
+    # TPU-native replacement for the reference's torch.nn.DataParallel,
+    # pi_GAN/train.py:50-52).
+    devices = jax.devices()
+    use_dp = (len(devices) > 1
+              and all(b % len(devices) == 0 for b in batch_sizes))
+    if use_dp:
+        from ..parallel import mesh as mesh_lib
+        dp_mesh = mesh_lib.make_mesh()
+        g_state = mesh_lib.replicate(g_state, dp_mesh)
+        d_state = mesh_lib.replicate(d_state, dp_mesh)
+        batch_shard = mesh_lib.batch_sharding(dp_mesh)
+        log_print(f"[parallel] data-parallel over {len(devices)} devices")
+
     m_d = {"d_loss": jnp.nan}
     m_g = {"g_loss": jnp.nan}
     for global_step in range(global_step + 1, iterations[-1] + 1):
@@ -210,9 +225,14 @@ def train(config) -> dict:
         k = jax.random.fold_in(ksteps, global_step)
         k1, k2, k3, k4 = jax.random.split(k, 4)
         z = jax.random.normal(k1, (batch_sizes[stage], config.z_dim))
+        if use_dp:
+            real = jax.device_put(real, batch_shard)
+            z = jax.device_put(z, batch_shard)
         d_state, m_d = d_step_fn(d_state, g_state["params"], real, z, k2,
                                  fade_alpha)
         z = jax.random.normal(k3, (batch_sizes[stage], config.z_dim))
+        if use_dp:
+            z = jax.device_put(z, batch_shard)
         g_state, m_g = g_step_fn(g_state, d_state["params"], z, k4,
                                  fade_alpha)
         # lazy append — converted to floats at print/save cadence (a float()

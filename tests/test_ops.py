@@ -98,8 +98,10 @@ def _sample_pdf_oracle(bins, weights, n):
 
 
 def test_sample_pdf_matches_oracle(rng):
+    # real call-site contract: len(weights) == len(bins) - 1
+    # (bins = 63 coarse mids, weights = 62 interior weights)
     bins = np.sort(rng.uniform(2, 6, size=(8, 63)), axis=-1).astype(np.float32)
-    weights = rng.uniform(0, 1, size=(8, 61)).astype(np.float32)
+    weights = rng.uniform(0, 1, size=(8, 62)).astype(np.float32)
     got = np.asarray(sampling.sample_pdf(jnp.asarray(bins),
                                          jnp.asarray(weights), 128))
     want = _sample_pdf_oracle(bins, weights, 128)
