@@ -17,9 +17,84 @@ only need a watertight triangle soup.
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
+import subprocess
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Optional native backend (native/mesh_kernels.cpp): identical algorithm,
+# single-pass C++ — the numpy path materialises several N^3 temporaries,
+# which hurts at the reference's final N=512 grids.  Auto-built on first use
+# when a compiler is available; every API falls back to numpy silently.
+# ---------------------------------------------------------------------------
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_NATIVE_LIB = os.path.join(_NATIVE_DIR, "libmesh_kernels.so")
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native if _native is not False else None
+    src = os.path.join(_NATIVE_DIR, "mesh_kernels.cpp")
+    try:
+        if not os.path.exists(_NATIVE_LIB) and os.path.exists(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", _NATIVE_LIB, src],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_NATIVE_LIB)
+        lib.mt_extract.restype = ctypes.c_int
+        lib.mt_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mt_free.argtypes = [ctypes.c_void_p]
+        _native = lib
+        return lib
+    except Exception:
+        _native = False
+        return None
+
+
+def _marching_tetrahedra_native(values, level, spacing, origin):
+    lib = _load_native()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    nx, ny, nz = values.shape
+    vptr = ctypes.POINTER(ctypes.c_float)()
+    fptr = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.mt_extract(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, ny, nz, float(level),
+        float(origin[0]), float(origin[1]), float(origin[2]),
+        float(spacing[0]), float(spacing[1]), float(spacing[2]),
+        ctypes.byref(vptr), ctypes.byref(fptr),
+        ctypes.byref(nv), ctypes.byref(nf))
+    if rc != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(vptr, (nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(fptr, (nf.value, 3)).copy() \
+            if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.mt_free(vptr)
+        lib.mt_free(fptr)
+    return verts.astype(np.float32), faces.astype(np.int32)
 
 # Cube corners in (x, y, z) offset order.
 _CUBE = np.array(
@@ -79,11 +154,17 @@ _NUM_TRIS = np.array([len(_TET_TRIS[c]) for c in range(16)], dtype=np.int64)
 
 
 def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
-                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0)):
+                        spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
+                        use_native: bool = True):
     """Extract the `level` isosurface of a dense [Nx, Ny, Nz] scalar grid.
 
     Returns (verts [V,3] float32 in world units, faces [F,3] int32).
+    Uses the native C++ backend when available (same algorithm).
     """
+    if use_native:
+        out = _marching_tetrahedra_native(values, level, spacing, origin)
+        if out is not None:
+            return out
     values = np.asarray(values, dtype=np.float32)
     nx, ny, nz = values.shape
     inside = values < level

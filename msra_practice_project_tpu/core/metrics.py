@@ -81,13 +81,24 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     return jnp.mean(ssim_map, axis=(1, 2, 3))
 
 
-def lpips(img1, img2, weights_path: str | None = None):
+_lpips_cache = {}
+
+
+def lpips(img1, img2, weights_dir: str | None = None):
     """LPIPS(alex) as used by nerf/test_nerf.py:80,109.
 
-    Requires pretrained AlexNet+linear-head weights on disk; without them
-    (no-network environments) returns None and callers record null.
+    `weights_dir` must contain `alexnet.pth` (torchvision state_dict) and
+    `lpips_lin.pth` (LPIPS v0.1 linear heads).  Without them (no-network
+    environments) returns None and callers record null; the full metric
+    implementation lives in core/lpips.py and activates when weights exist.
     """
-    if weights_path is None:
+    import os
+
+    if weights_dir is None or not os.path.isdir(weights_dir):
         return None
-    raise NotImplementedError(
-        "LPIPS weight loading not wired up yet; pass weights_path=None")
+    if weights_dir not in _lpips_cache:
+        from .lpips import LPIPS
+        _lpips_cache[weights_dir] = LPIPS.from_torch_checkpoint(
+            os.path.join(weights_dir, "alexnet.pth"),
+            os.path.join(weights_dir, "lpips_lin.pth"))
+    return float(_lpips_cache[weights_dir](img1, img2))

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
+from ..core import diagnostics
 from ..core import image_io, metrics
 from ..core.config import SIREN_IMG_DEFAULTS, log_dir, save_config
 from ..core.logging import MetricLogger, log_print
@@ -65,6 +66,9 @@ def train(config) -> dict:
     log_path = log_dir(config)
     os.makedirs(log_path, exist_ok=True)
     save_config(config, log_path)
+    diagnostics.enable_from_config(config)
+    profiler = diagnostics.StepProfiler(log_path,
+                                        config.get("profile_steps", 0))
 
     # Data: reference hardcodes ./data/image/cameraman.jpg
     # (siren/train_img.py:32); we honour an optional data_path key and fall
@@ -93,6 +97,7 @@ def train(config) -> dict:
     epoch_idx = 0
     batch_num = max(n // batch_size, 1)
     for global_step in range(global_step + 1, config.iterations + 1):
+        profiler.tick(global_step)
         state, m = _train_step(
             state, buffer, batch_idx * batch_size,
             apply_fn=apply_fn, tx=tx, batch_size=batch_size)
@@ -115,6 +120,7 @@ def train(config) -> dict:
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
+    profiler.stop()
     logger.save(log_path)
     return {"state": state, "log": logger.data, "model": model,
             "image": img, "width": width, "height": height}

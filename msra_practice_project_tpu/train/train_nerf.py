@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
-from ..core import image_io
+from ..core import diagnostics, image_io
 from ..core.config import NERF_TRAIN_DEFAULTS, log_dir, save_config
 from ..core.logging import MetricLogger, log_print
 from ..data import blender
@@ -187,8 +187,14 @@ def load_dataset(config):
 def train(config) -> dict:
     log_path = log_dir(config)
     os.makedirs(log_path, exist_ok=True)
+    diagnostics.enable_from_config(config)
+    profiler = diagnostics.StepProfiler(log_path,
+                                        config.get("profile_steps", 0))
 
     images, poses, width, height, focal, train_idx = load_dataset(config)
+    if config.get("data_show_distribution", False):
+        blender.show_data_distribution(
+            poses, save_path=os.path.join(log_path, "distribution.png"))
     config["data_train_idx"] = train_idx
     path = save_config(config, log_path)
     log_print(f"Config file write to: {path}")
@@ -237,6 +243,7 @@ def train(config) -> dict:
     batch_idx = 0
     iterations = config["iterations"]
     for global_step in range(global_step + 1, iterations + 1):
+        profiler.tick(global_step)
         k = jax.random.fold_in(k_steps, global_step)
         if global_step <= config["start_up_itrs"]:
             batch = sample_startup_batch(startup_buf, k,
@@ -271,6 +278,7 @@ def train(config) -> dict:
             image_io.imwrite(
                 os.path.join(log_path, f"{global_step:06d}.png"), frame)
 
+    profiler.stop()
     logger.save(log_path)
     return {"state": state, "log": logger.data, "models":
             (coarse_model, fine_model), "geometry":

@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
-from ..core import image_io
+from ..core import diagnostics, image_io
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir, save_config
 from ..core.logging import log_print
 from ..data.image_folder import ImageFolder, make_synthetic_faces
@@ -137,6 +137,9 @@ def train(config) -> dict:
     log_path = log_dir(config)
     os.makedirs(log_path, exist_ok=True)
     save_config(config, log_path)
+    diagnostics.enable_from_config(config)
+    profiler = diagnostics.StepProfiler(log_path,
+                                        config.get("profile_steps", 0))
 
     iterations = [0] + list(config.iterations)
     fade_in_itrs = list(config.fade_in_itrs)
@@ -212,6 +215,7 @@ def train(config) -> dict:
     m_d = {"d_loss": jnp.nan}
     m_g = {"g_loss": jnp.nan}
     for global_step in range(global_step + 1, iterations[-1] + 1):
+        profiler.tick(global_step)
         epoch_idx, batch_idx, real = dataset.get()
         real = jnp.transpose(real, (0, 3, 1, 2))  # NHWC -> NCHW
 
@@ -275,6 +279,7 @@ def train(config) -> dict:
                 os.path.join(log_path, f"{global_step:06d}.png"),
                 resolution=res_now)
 
+    profiler.stop()
     _flush_loss_log(loss_log)
     np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
     return {"g_state": g_state, "d_state": d_state, "loss_log": loss_log,

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
+from ..core import diagnostics
 from ..core import mesh as mesh_lib
 from ..core.config import SIREN_SDF_DEFAULTS, log_dir, save_config
 from ..core.logging import MetricLogger, log_print
@@ -107,6 +108,9 @@ def train(config) -> dict:
     log_path = log_dir(config)
     os.makedirs(log_path, exist_ok=True)
     save_config(config, log_path)
+    diagnostics.enable_from_config(config)
+    profiler = diagnostics.StepProfiler(log_path,
+                                        config.get("profile_steps", 0))
 
     data_path = config.get("data_path", "")
     if data_path and os.path.exists(data_path):
@@ -135,6 +139,7 @@ def train(config) -> dict:
     i_mesh = config.get("i_mesh", 1000)
     mesh_n = config.get("mesh_n", 128)
     for global_step in range(global_step + 1, config.iterations + 1):
+        profiler.tick(global_step)
         state, m = _train_step(
             state, cloud, batch_idx * batch_size,
             jax.random.fold_in(root_key, global_step),
@@ -156,6 +161,7 @@ def train(config) -> dict:
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
+    profiler.stop()
     logger.save(log_path)
     # Final high-res mesh (ref: siren/train_sdf.py:101, N=512).
     create_mesh(apply_fn, state["params"], os.path.join(log_path, "test"),

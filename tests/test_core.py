@@ -166,3 +166,73 @@ def test_image_io_roundtrip(tmp_path, rng):
     gif = str(tmp_path / "x.gif")
     image_io.mimwrite(gif, [image_io.to8b(img)] * 3)
     assert os.path.getsize(gif) > 0
+
+
+def test_native_mesh_matches_numpy():
+    """The C++ backend must produce identical meshes to the numpy path."""
+    n = 40
+    grid = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+    x, y, z = np.meshgrid(grid, grid, grid, indexing="ij")
+    sdf = (np.sqrt(x**2 + y**2 + z**2) - 1.0).astype(np.float32)
+    sp = 2.4 / (n - 1)
+    vn, fn = mesh.marching_tetrahedra(sdf, 0.0, (sp,) * 3, (-1.2,) * 3,
+                                      use_native=True)
+    vp, fp = mesh.marching_tetrahedra(sdf, 0.0, (sp,) * 3, (-1.2,) * 3,
+                                      use_native=False)
+    if mesh._load_native() is None:
+        import pytest
+        pytest.skip("native backend unavailable")
+    assert vn.shape == vp.shape and fn.shape == fp.shape
+    sn = np.array(sorted(map(tuple, np.round(vn, 5))))
+    s2 = np.array(sorted(map(tuple, np.round(vp, 5))))
+    np.testing.assert_allclose(sn, s2, atol=1e-4)
+
+
+def test_lpips_structure(rng):
+    """LPIPS machinery: zero self-distance, positive for perturbed images,
+    torch-roundtrip weight loading."""
+    import jax as _jax
+    from msra_practice_project_tpu.core import lpips as lpips_mod
+
+    lp = lpips_mod.LPIPS.random_init(_jax.random.PRNGKey(0))
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    noisy = np.clip(img + rng.normal(scale=0.3, size=img.shape), 0,
+                    1).astype(np.float32)
+    d_self = float(lp(img, img))
+    d_noise = float(lp(img, noisy))
+    assert abs(d_self) < 1e-6
+    assert d_noise > 0
+
+    # batch form
+    batch = np.stack([img, noisy]).transpose(0, 3, 1, 2)
+    d = lp(jnp.asarray(batch), jnp.asarray(batch))
+    assert d.shape == (2,)
+
+
+def test_lpips_torch_checkpoint_roundtrip(tmp_path):
+    """from_torch_checkpoint parses torchvision/lpips-style state dicts."""
+    import torch
+    from msra_practice_project_tpu.core import lpips as lpips_mod
+
+    alex = {}
+    in_ch = 3
+    for idx, (out_ch, k, _, _) in zip(lpips_mod._TV_IDX,
+                                      lpips_mod._ALEX_CONVS):
+        alex[f"features.{idx}.weight"] = torch.randn(out_ch, in_ch, k, k)
+        alex[f"features.{idx}.bias"] = torch.randn(out_ch)
+        in_ch = out_ch
+    lin = {f"lin{i}.model.1.weight":
+           torch.rand(1, c, 1, 1)
+           for i, (c, *_) in enumerate(lpips_mod._ALEX_CONVS)}
+    torch.save(alex, tmp_path / "alexnet.pth")
+    torch.save(lin, tmp_path / "lpips_lin.pth")
+
+    lp = lpips_mod.LPIPS.from_torch_checkpoint(
+        str(tmp_path / "alexnet.pth"), str(tmp_path / "lpips_lin.pth"))
+    img = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+    assert float(lp(img, img)) < 1e-6
+
+    from msra_practice_project_tpu.core import metrics as M
+    v = M.lpips(img, img, str(tmp_path))
+    assert v is not None and v < 1e-6
+    assert M.lpips(img, img, None) is None

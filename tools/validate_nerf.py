@@ -1,0 +1,156 @@
+"""End-to-end NeRF quality validation on an analytic scene.
+
+The real lego dataset isn't shipped with either repo, so this tool builds a
+ground-truth multi-view dataset by volume-rendering an ANALYTIC density field
+(three coloured soft spheres) with the framework's own renderer, writes it in
+standard Blender format, trains a NeRF on it through the normal CLI pipeline,
+and reports train-view + held-out novel-view PSNR/SSIM.
+
+A correct hierarchical NeRF should exceed ~30 dB novel-view PSNR on this
+scene; the reference's quality bar (SURVEY.md §6) is the same pipeline on
+lego.
+
+Run: python tools/validate_nerf.py [iterations] [resolution]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msra_practice_project_tpu.core import image_io, metrics
+from msra_practice_project_tpu.core.config import (
+    NERF_TRAIN_DEFAULTS, resolve,
+)
+from msra_practice_project_tpu.data.blender import BLENDER_COORD
+from msra_practice_project_tpu.ops import rays as ray_ops
+from msra_practice_project_tpu.ops.render import render_image
+
+SPHERES = [  # (center, radius, rgb)
+    ((0.0, 0.0, 0.0), 0.6, (0.9, 0.2, 0.2)),
+    ((0.8, 0.0, 0.3), 0.35, (0.2, 0.8, 0.3)),
+    ((-0.6, 0.5, -0.3), 0.45, (0.2, 0.3, 0.9)),
+]
+
+
+def analytic_field(x):
+    """f([..., 6]) -> [..., 4]: soft coloured spheres (view-independent)."""
+    pos = x[..., :3]
+    sigma = jnp.zeros(pos.shape[:-1])
+    rgb_acc = jnp.zeros((*pos.shape[:-1], 3))
+    w_acc = jnp.zeros(pos.shape[:-1])
+    for (c, r, col) in SPHERES:
+        d = jnp.linalg.norm(pos - jnp.asarray(c), axis=-1)
+        s = 60.0 * jax.nn.sigmoid((r - d) * 40.0)
+        sigma = jnp.maximum(sigma, s)
+        w = s + 1e-6
+        rgb_acc = rgb_acc + w[..., None] * jnp.asarray(col)
+        w_acc = w_acc + w
+    rgb = rgb_acc / w_acc[..., None]
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
+                 seed=0):
+    rng = np.random.default_rng(seed)
+    focal = 0.5 * size / np.tan(0.5 * 0.6911112)
+    f = jax.tree_util.Partial(analytic_field)
+    key = jax.random.PRNGKey(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    for split, n in [("train", n_train), ("val", n_val), ("test", n_test)]:
+        frames = []
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        for i in range(n):
+            theta = float(rng.uniform(-180, 180))
+            phi = float(rng.uniform(-60, -5))
+            c2w = np.asarray(ray_ops.camera_pose_deg(4.0, theta, phi))
+            rgb, _, acc = render_image(
+                jax.random.fold_in(key, hash((split, i)) % (2**31)),
+                size, size, focal, jnp.asarray(c2w), 2.0, 6.0, f, f, 64, 128,
+                chunk=4096)
+            rgba = np.concatenate(
+                [np.asarray(rgb), np.asarray(acc)], axis=-1)
+            img8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+            rel = f"./{split}/r_{i}"
+            image_io.imwrite(os.path.join(out_dir, rel + ".png"), img8) \
+                if False else None
+            from PIL import Image
+            Image.fromarray(img8, "RGBA").save(
+                os.path.join(out_dir, rel + ".png"))
+            m = np.linalg.inv(BLENDER_COORD) @ c2w
+            frames.append({"file_path": rel, "transform_matrix": m.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{split}.json"),
+                  "w") as fp:
+            json.dump({"camera_angle_x": 0.6911112, "frames": frames}, fp)
+    return focal
+
+
+def main(iterations=3000, size=64):
+    from msra_practice_project_tpu.eval.nerf_common import (
+        load_experiment, render_view,
+    )
+    from msra_practice_project_tpu.train import train_nerf
+
+    base = "/tmp/nerf_validate"
+    data_dir = os.path.join(base, "data")
+    if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
+        print("[validate] rendering analytic dataset...")
+        make_dataset(data_dir, size)
+
+    cfg = resolve({
+        "output_path": base, "experiment_name": "exp",
+        "data_path": data_dir, "data_resize": 1.0, "data_skip": 1,
+        "iterations": iterations, "batch_size": 1024, "start_up_itrs": 200,
+        "i_print": max(iterations // 10, 1), "i_save": iterations,
+        "i_image": iterations,
+    }, NERF_TRAIN_DEFAULTS)
+    print(f"[validate] training {iterations} iters...")
+    out = train_nerf.train(cfg)
+    psnr_train_curve = out["log"]["psnr"]
+
+    # Held-out evaluation against the analytic ground truth.
+    log_path = os.path.join(base, "exp")
+    config, models, state, _ = load_experiment(log_path)
+    from msra_practice_project_tpu.data.blender import (
+        load_blender_data, premultiply_white,
+    )
+    images, poses, width, height, focal, _ = load_blender_data(
+        data_dir, 1.0, 1)
+    premultiply_white(images)
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for split, (imgs, ps) in [
+        ("train", (images["train"][:5], poses["train"][:5])),
+        ("test", (images["test"], poses["test"])),
+    ]:
+        psnrs, ssims = [], []
+        for i, (img, pose) in enumerate(zip(imgs, ps)):
+            rgb, _, _ = render_view(config, models, state, width, height,
+                                    focal, pose, jax.random.fold_in(key, i))
+            target = np.asarray(img[..., :3])
+            psnrs.append(float(-10 * np.log10(np.mean((rgb - target) ** 2))))
+            ssims.append(float(metrics.ssim(rgb, target)))
+        results[split] = (float(np.mean(psnrs)), float(np.mean(ssims)))
+        print(f"[validate] {split}: PSNR {results[split][0]:.2f} dB  "
+              f"SSIM {results[split][1]:.4f}")
+
+    print(f"[validate] train-batch psnr curve: start "
+          f"{np.mean(psnr_train_curve[:50]):.1f} -> end "
+          f"{np.mean(psnr_train_curve[-50:]):.1f}")
+    ok = results["test"][0] > 28.0
+    print("[validate]", "PASS" if ok else "FAIL",
+          f"(novel-view PSNR {'>' if ok else '<='} 28 dB)")
+    return results
+
+
+if __name__ == "__main__":
+    its = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    main(its, size)
