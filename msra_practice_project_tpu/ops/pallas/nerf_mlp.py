@@ -40,7 +40,7 @@ PE_DIR = 32      # 24 used
 HID = 256
 RGB_HID = 128
 OUT_PAD = 8      # [rgb(3), sigma(1), pad(4)]
-TILE = 512
+TILE = 768  # best measured bwd tile (1024 exceeds VMEM)
 
 
 def _pe_basis(input_offset: int, length: int, width: int):
@@ -118,24 +118,30 @@ def _pe_tile(x, F, Ssin, Scos):
     return _mm(jnp.sin(P), Ssin, False) + _mm(jnp.cos(P), Scos, False)
 
 
-def _forward_tile(x, w, bf16):
+def _forward_tile(x, w, bf16, store_bf16=False):
     """Shared forward math on one [T, IN_PAD] tile.  Returns activation dict
-    (used both by the fwd kernel and the bwd recompute)."""
-    pe_p = _pe_tile(x, w["Fp"], w["Sp_sin"], w["Sp_cos"])
-    pe_d = _pe_tile(x, w["Fd"], w["Sd_sin"], w["Sd_cos"])
-    h0 = jax.nn.relu(_mm(pe_p, w["W0"], bf16) + w["b0"])
-    h1 = jax.nn.relu(_mm(h0, w["W1"], bf16) + w["b1"])
-    h2 = jax.nn.relu(_mm(h1, w["W2"], bf16) + w["b2"])
-    h3 = jax.nn.relu(_mm(h2, w["W3"], bf16) + w["b3"])
-    h4 = jax.nn.relu(_mm(h3, w["W4"], bf16) + w["b4"])
-    h5 = jax.nn.relu(_mm(pe_p, w["W5a"], bf16)
-                     + _mm(h4, w["W5b"], bf16) + w["b5"])
-    h6 = jax.nn.relu(_mm(h5, w["W6"], bf16) + w["b6"])
-    h7 = jax.nn.relu(_mm(h6, w["W7"], bf16) + w["b7"])
+    (used both by the fwd kernel and the bwd recompute).
+
+    store_bf16: keep intermediate activations in bf16 (the matmuls consume
+    them as bf16 anyway when bf16=True) — halves the recompute VMEM
+    footprint, enabling larger backward tiles.
+    """
+    st = (lambda a: a.astype(jnp.bfloat16)) if store_bf16 else (lambda a: a)
+    pe_p = st(_pe_tile(x, w["Fp"], w["Sp_sin"], w["Sp_cos"]))
+    pe_d = st(_pe_tile(x, w["Fd"], w["Sd_sin"], w["Sd_cos"]))
+    h0 = st(jax.nn.relu(_mm(pe_p, w["W0"], bf16) + w["b0"]))
+    h1 = st(jax.nn.relu(_mm(h0, w["W1"], bf16) + w["b1"]))
+    h2 = st(jax.nn.relu(_mm(h1, w["W2"], bf16) + w["b2"]))
+    h3 = st(jax.nn.relu(_mm(h2, w["W3"], bf16) + w["b3"]))
+    h4 = st(jax.nn.relu(_mm(h3, w["W4"], bf16) + w["b4"]))
+    h5 = st(jax.nn.relu(_mm(pe_p, w["W5a"], bf16)
+                        + _mm(h4, w["W5b"], bf16) + w["b5"]))
+    h6 = st(jax.nn.relu(_mm(h5, w["W6"], bf16) + w["b6"]))
+    h7 = st(jax.nn.relu(_mm(h6, w["W7"], bf16) + w["b7"]))
     sig = jax.nn.relu(_mm(h7, w["Ws"], bf16) + w["bs"])
-    hd = _mm(h7, w["W8"], bf16) + w["b8"]
-    h9 = jax.nn.relu(_mm(hd, w["W9a"], bf16)
-                     + _mm(pe_d, w["W9b"], bf16) + w["b9"])
+    hd = st(_mm(h7, w["W8"], bf16) + w["b8"])
+    h9 = st(jax.nn.relu(_mm(hd, w["W9a"], bf16)
+                        + _mm(pe_d, w["W9b"], bf16) + w["b9"]))
     rgb = jax.nn.sigmoid(_mm(h9, w["Wr"], bf16) + w["br"])
     return dict(pe_p=pe_p, pe_d=pe_d, h0=h0, h1=h1, h2=h2, h3=h3, h4=h4,
                 h5=h5, h6=h6, h7=h7, sig=sig, hd=hd, h9=h9, rgb=rgb)
@@ -206,7 +212,7 @@ def _bwd_kernel(bf16, *refs):
             dword[k][:] = jnp.zeros_like(dword[k])
 
     x = x_ref[:]
-    a = _forward_tile(x, w, bf16)
+    a = _forward_tile(x, w, bf16, store_bf16=bf16)
     dy = dy_ref[:]
 
     def mmT_acc(act, delta):  # dW = act^T @ delta
@@ -223,17 +229,20 @@ def _bwd_kernel(bf16, *refs):
             lhs, rhs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
+    def relu_mask(act):  # Mosaic lacks bf16 comparisons on this target
+        return act.astype(jnp.float32) > 0
+
     lane = jax.lax.broadcasted_iota(jnp.int32, dy.shape, 1)
     drgb = jnp.where(lane < 3, dy, 0.0)
     dsig_col = jnp.where(lane == 3, dy, 0.0)  # sigma grad sits in col 3
     # route sigma grad to col 0 of the padded sigma head
-    dsig = jnp.sum(dsig_col, axis=1, keepdims=True) * (a["sig"][:, :1] > 0)
+    dsig = jnp.sum(dsig_col, axis=1, keepdims=True) * relu_mask(a["sig"][:, :1])
     dsig = jnp.pad(dsig, ((0, 0), (0, OUT_PAD - 1)))
 
     dr_pre = drgb * a["rgb"] * (1.0 - a["rgb"])
     dword["Wr"][:] += mmT_acc(a["h9"], dr_pre)
     dword["br"][:] += jnp.sum(dr_pre, axis=0, keepdims=True)
-    dh9 = mmB(dr_pre, w["Wr"]) * (a["h9"] > 0)
+    dh9 = mmB(dr_pre, w["Wr"]) * relu_mask(a["h9"])
 
     dword["W9a"][:] += mmT_acc(a["hd"], dh9)
     dword["W9b"][:] += mmT_acc(a["pe_d"], dh9)
@@ -245,37 +254,37 @@ def _bwd_kernel(bf16, *refs):
     dword["W8"][:] += mmT_acc(a["h7"], dhd)
     dword["bs"][:] += jnp.sum(dsig, axis=0, keepdims=True)
     dword["b8"][:] += jnp.sum(dhd, axis=0, keepdims=True)
-    dh7 = (mmB(dsig, w["Ws"]) + mmB(dhd, w["W8"])) * (a["h7"] > 0)
+    dh7 = (mmB(dsig, w["Ws"]) + mmB(dhd, w["W8"])) * relu_mask(a["h7"])
 
     dword["W7"][:] += mmT_acc(a["h6"], dh7)
     dword["b7"][:] += jnp.sum(dh7, axis=0, keepdims=True)
-    dh6 = mmB(dh7, w["W7"]) * (a["h6"] > 0)
+    dh6 = mmB(dh7, w["W7"]) * relu_mask(a["h6"])
 
     dword["W6"][:] += mmT_acc(a["h5"], dh6)
     dword["b6"][:] += jnp.sum(dh6, axis=0, keepdims=True)
-    dh5 = mmB(dh6, w["W6"]) * (a["h5"] > 0)
+    dh5 = mmB(dh6, w["W6"]) * relu_mask(a["h5"])
 
     dword["W5a"][:] += mmT_acc(a["pe_p"], dh5)
     dword["W5b"][:] += mmT_acc(a["h4"], dh5)
     dword["b5"][:] += jnp.sum(dh5, axis=0, keepdims=True)
     dpe_p = mmB(dh5, w["W5a"])
-    dh4 = mmB(dh5, w["W5b"]) * (a["h4"] > 0)
+    dh4 = mmB(dh5, w["W5b"]) * relu_mask(a["h4"])
 
     dword["W4"][:] += mmT_acc(a["h3"], dh4)
     dword["b4"][:] += jnp.sum(dh4, axis=0, keepdims=True)
-    dh3 = mmB(dh4, w["W4"]) * (a["h3"] > 0)
+    dh3 = mmB(dh4, w["W4"]) * relu_mask(a["h3"])
 
     dword["W3"][:] += mmT_acc(a["h2"], dh3)
     dword["b3"][:] += jnp.sum(dh3, axis=0, keepdims=True)
-    dh2 = mmB(dh3, w["W3"]) * (a["h2"] > 0)
+    dh2 = mmB(dh3, w["W3"]) * relu_mask(a["h2"])
 
     dword["W2"][:] += mmT_acc(a["h1"], dh2)
     dword["b2"][:] += jnp.sum(dh2, axis=0, keepdims=True)
-    dh1 = mmB(dh2, w["W2"]) * (a["h1"] > 0)
+    dh1 = mmB(dh2, w["W2"]) * relu_mask(a["h1"])
 
     dword["W1"][:] += mmT_acc(a["h0"], dh1)
     dword["b1"][:] += jnp.sum(dh1, axis=0, keepdims=True)
-    dh0 = mmB(dh1, w["W1"]) * (a["h0"] > 0)
+    dh0 = mmB(dh1, w["W1"]) * relu_mask(a["h0"])
 
     dword["W0"][:] += mmT_acc(a["pe_p"], dh0)
     dword["b0"][:] += jnp.sum(dh0, axis=0, keepdims=True)

@@ -87,3 +87,12 @@ def parse_cli(argv, defaults: dict) -> Config:
         except json.JSONDecodeError:
             cfg[k] = v
     return cfg
+
+
+def summary_module(name: str, params) -> int:
+    """Print total parameter count (ref: pi_GAN/utils.py:14-20)."""
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"{name}: {n:,} total parameters.")
+    return n

@@ -166,6 +166,8 @@ def train(config) -> dict:
     d_tx = common.adam(d_sched, betas=(0.0, 0.9))
     g_state = common.init_state(generator.init(kg), g_tx)
     d_state = common.init_state(discriminator.init(kd), d_tx)
+    common.summary_module("generator", g_state["params"])
+    common.summary_module("discriminator", d_state["params"])
 
     state = {"g": g_state, "d": d_state, "step": 0,
              "loss_log": {"g_loss": [], "d_loss": []}}
