@@ -169,10 +169,8 @@ def train(config) -> dict:
     common.summary_module("generator", g_state["params"])
     common.summary_module("discriminator", d_state["params"])
 
-    state = {"g": g_state, "d": d_state, "step": 0,
-             "loss_log": {"g_loss": [], "d_loss": []}}
-    # loss_log lists are python floats; keep them out of the restored pytree
-    # shape-check by storing separately.
+    # loss_log lists are python floats; kept out of the restored pytree
+    # (shape-checked) by storing them in a sidecar .npy.
     found = ckpt_lib.restore_latest(log_path, {"g": g_state, "d": d_state,
                                                "step": 0})
     loss_log = {"g_loss": [], "d_loss": []}

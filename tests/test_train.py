@@ -164,3 +164,19 @@ def test_pigan_d_and_g_both_learn(pigan_run):
     assert all(np.isfinite(np.asarray(x)).all() for x in d_leaves)
     assert int(out["g_state"]["step"]) == 10
     assert int(out["d_state"]["step"]) == 10
+
+
+def test_fused_mlp_disabled_on_cpu(tmp_path):
+    """The use_fused_mlp default must auto-disable off-TPU (Pallas compiled
+    kernels are TPU-only; CPU uses the XLA path transparently)."""
+    import jax
+    from msra_practice_project_tpu.train import train_nerf
+
+    assert jax.default_backend() == "cpu"
+    cfg = _cfg(tmp_path, "nerf_fused_flag", NERF_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=3, batch_size=32,
+               start_up_itrs=0, render_coarse_sample_num=4,
+               render_fine_sample_num=4, i_print=100, i_save=100,
+               i_image=100, data_size=16, use_fused_mlp=True)
+    out = train_nerf.train(cfg)  # would crash if the pallas path were taken
+    assert np.isfinite(out["log"]["loss"]).all()
