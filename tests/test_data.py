@@ -1,0 +1,143 @@
+"""Data-layer tests: blender loader filter semantics, image folder, clouds."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from msra_practice_project_tpu.data import blender, image, image_folder, pointcloud
+from msra_practice_project_tpu.ops import rays as ray_ops
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    """Synthetic scene with CONTROLLED camera angles for filter tests."""
+    tmp = str(tmp_path_factory.mktemp("blender"))
+    thetas = [0.0, 20.0, 100.0, -100.0, 170.0]  # train/val angles
+    phis = [-10.0, -20.0, -10.0, -30.0, -15.0]
+    from PIL import Image
+
+    for split in ["train", "val", "test"]:
+        frames = []
+        os.makedirs(os.path.join(tmp, split), exist_ok=True)
+        for i, (th, ph) in enumerate(zip(thetas, phis)):
+            c2w = np.asarray(ray_ops.camera_pose_deg(4.0, th, ph))
+            m = np.linalg.inv(blender.BLENDER_COORD) @ c2w
+            img = np.full((8, 8, 4), 128, np.uint8)
+            rel = f"./{split}/r_{i}"
+            Image.fromarray(img, "RGBA").save(os.path.join(tmp, rel + ".png"))
+            frames.append({"file_path": rel, "transform_matrix": m.tolist()})
+        with open(os.path.join(tmp, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+    return tmp
+
+
+def test_loader_no_filter(blender_dir):
+    images, poses, w, h, focal, idx = blender.load_blender_data(blender_dir)
+    assert images["train"].shape == (5, 8, 8, 4)
+    assert images["val"]["in"].shape[0] == 5     # all in-range
+    assert images["val"]["ex"].shape[0] == 0
+    assert idx == [0, 1, 2, 3, 4]
+    assert w == h == 8
+    assert focal == pytest.approx(0.5 * 8 / np.tan(0.5 * 0.6911), rel=1e-5)
+
+
+def test_loader_view_range_window(blender_dir):
+    """Single window [-30,30]x[-25,0]: keeps theta 0,20 with phi > -25."""
+    rng = [[-30, 30, -25, 0]]
+    images, poses, *_ , idx = blender.load_blender_data(
+        blender_dir, view_dir_range=rng)
+    assert idx == [0, 1]                      # thetas 0, 20 (phis -10,-20)
+    # val split: in-range go to 'in', rest to 'ex'
+    assert images["val"]["in"].shape[0] == 2
+    assert images["val"]["ex"].shape[0] == 3
+
+
+def test_loader_multi_window(blender_dir):
+    rng = [[-30, 30, -25, 0], [90, 110, -40, 0]]
+    _, _, *_ , idx = blender.load_blender_data(blender_dir,
+                                               view_dir_range=rng)
+    assert idx == [0, 1, 2]                   # adds theta=100
+
+
+def test_loader_explicit_train_idx(blender_dir):
+    images, _, *_ , idx = blender.load_blender_data(blender_dir,
+                                                    train_idx=[1, 3])
+    assert idx == [1, 3]
+    assert images["train"].shape[0] == 2
+
+
+def test_loader_target_num(blender_dir):
+    rng = np.random.default_rng(0)
+    images, _, *_ , idx = blender.load_blender_data(blender_dir,
+                                                    target_num=3, rng=rng)
+    assert images["train"].shape[0] == 3
+    assert len(idx) == 3
+
+
+def test_loader_test_skip(blender_dir):
+    images, *_ = blender.load_blender_data(blender_dir, test_skip=2)
+    assert images["test"].shape[0] == 3       # every 2nd of 5
+
+
+def test_premultiply_white():
+    images = {"train": np.zeros((1, 2, 2, 4), np.float32),
+              "val": {"in": np.zeros((0, 2, 2, 4), np.float32),
+                      "ex": np.zeros((0, 2, 2, 4), np.float32)}}
+    images["train"][..., :3] = 0.5
+    images["train"][0, 0, 0, 3] = 1.0         # opaque pixel
+    images["train"][0, 1, 1, 3] = 0.0         # transparent pixel
+    blender.premultiply_white(images)
+    np.testing.assert_allclose(images["train"][0, 0, 0, :3], 0.5)
+    np.testing.assert_allclose(images["train"][0, 1, 1, :3], 1.0)  # white
+
+
+def test_image_folder_epochs(tmp_path):
+    image_folder.make_synthetic_faces(str(tmp_path), n=10, size=8)
+    ds = image_folder.ImageFolder(str(tmp_path), batch_size=4)
+    assert len(ds) == 10
+    assert ds.batch_num == 2                  # keep_full drops ragged tail
+    seen = []
+    for _ in range(4):
+        epoch, bidx, batch = ds.get()
+        assert batch.shape == (4, 8, 8, 3)
+        seen.append((epoch, bidx))
+    assert seen == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_image_folder_resize(tmp_path):
+    image_folder.make_synthetic_faces(str(tmp_path), n=4, size=64)
+    ds = image_folder.ImageFolder(str(tmp_path), batch_size=2, resize=0.5)
+    _, _, batch = ds.get()
+    assert batch.shape == (2, 32, 32, 3)
+
+
+def test_image_to_coords_convention():
+    img = np.arange(6, dtype=np.float32).reshape(2, 3, 1) / 6.0
+    pv = image.image_to_coords(img, shuffle=False)
+    assert pv.shape == (6, 3)
+    # first row: x=-1 (left), y=-1 (top), value img[0,0]
+    np.testing.assert_allclose(pv[0], [-1, -1, 0.0], atol=1e-6)
+    # last row: x=+1, y=+1, value img[1,2]
+    np.testing.assert_allclose(pv[-1], [1, 1, 5 / 6.0], atol=1e-6)
+
+
+def test_point_cloud_roundtrip(tmp_path):
+    cloud = pointcloud.make_synthetic_sphere_cloud(100, radius=0.5)
+    assert cloud.shape == (100, 6)
+    np.testing.assert_allclose(np.linalg.norm(cloud[:, :3], axis=1), 0.5,
+                               atol=1e-5)
+    # normals are unit + radial
+    np.testing.assert_allclose(np.linalg.norm(cloud[:, 3:], axis=1), 1.0,
+                               atol=1e-5)
+    p = str(tmp_path / "c.npy")
+    np.save(p, cloud)
+    back = pointcloud.load_point_cloud(p)
+    np.testing.assert_allclose(back, cloud)
+
+    import scipy.io
+    pm = str(tmp_path / "c.mat")
+    scipy.io.savemat(pm, {"p": cloud})
+    back = pointcloud.load_point_cloud(pm)
+    np.testing.assert_allclose(back, cloud, atol=1e-6)
