@@ -89,3 +89,47 @@ def test_fused_inside_render_and_jit(setup):
     g = jax.grad(loss)(p, jax.random.PRNGKey(0))
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+# ---------------------------------------------------------------------------
+# Fused FiLM-SIREN trunk kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_dir", [True, False])
+def test_fused_film_matches_reference(use_dir):
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.ops.pallas.film_mlp import fused_film_apply
+
+    t = pigan.FilmSirenNeRF(pigan.FilmSirenNeRFConfig(use_dir=use_dir))
+    p = t.init(jax.random.PRNGKey(0))
+    b = 3
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 5, 7, 6)) * 0.3
+    film = jax.random.normal(jax.random.PRNGKey(2), (b, 9, 512)) * 0.1 + \
+        jnp.concatenate([jnp.ones((b, 9, 256)), jnp.zeros((b, 9, 256))], -1)
+    ref = t.apply(p, x, film)
+    out = fused_film_apply(p, x, film, use_dir, False, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_film_grads_match():
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.ops.pallas.film_mlp import fused_film_apply
+
+    t = pigan.FilmSirenNeRF()
+    p = t.init(jax.random.PRNGKey(0))
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 300, 6)) * 0.3
+    film = jax.random.normal(jax.random.PRNGKey(2), (b, 9, 512)) * 0.1 + \
+        jnp.concatenate([jnp.ones((b, 9, 256)), jnp.zeros((b, 9, 256))], -1)
+
+    gr = jax.grad(lambda p, x, f: (t.apply(p, x, f) ** 2).sum(),
+                  argnums=(0, 1, 2))(p, x, film)
+    gf = jax.grad(
+        lambda p, x, f: (fused_film_apply(p, x, f, True, False, True) ** 2
+                         ).sum(), argnums=(0, 1, 2))(p, x, film)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gr),
+                     jax.tree_util.tree_leaves(gf)):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b_) / scale,
+                                   np.asarray(a) / scale, atol=2e-4)
