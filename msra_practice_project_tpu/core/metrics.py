@@ -45,27 +45,32 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     """SSIM over NCHW images (matches nerf/pytorch_ssim/__init__.py:17-37).
 
-    Accepts [N, C, H, W] or [H, W, C] (auto-promoted).
+    Accepts [N, C, H, W] or [H, W, C] (auto-promoted).  Computed host-side in
+    float64: the textbook variance form conv(x^2) - mu^2 catastrophically
+    cancels in fp32 on smooth/near-identical images (values can exceed 1 —
+    the reference's vendored fp32 implementation has the same artifact);
+    float64 keeps the map in [-1, 1] for an eval-only metric.
     """
-    img1 = jnp.asarray(img1, jnp.float32)
-    img2 = jnp.asarray(img2, jnp.float32)
+    img1 = np.asarray(img1, np.float64)
+    img2 = np.asarray(img2, np.float64)
     if img1.ndim == 3:  # HWC -> NCHW
-        img1 = jnp.transpose(img1, (2, 0, 1))[None]
-        img2 = jnp.transpose(img2, (2, 0, 1))[None]
-    n, c, h, w = img1.shape
-    win = jnp.asarray(_gaussian_window(window_size, 1.5))
-    # Depthwise conv: kernel [C*1, 1, K, K] with feature_group_count=C.
-    kernel = jnp.broadcast_to(win, (c, 1, window_size, window_size))
+        img1 = np.transpose(img1, (2, 0, 1))[None]
+        img2 = np.transpose(img2, (2, 0, 1))[None]
+    win = _gaussian_window(window_size, 1.5).astype(np.float64)
+
+    from scipy.ndimage import convolve
+
+    pad = window_size // 2
 
     def conv(x):
-        return jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=(1, 1),
-            padding=[(window_size // 2, window_size // 2)] * 2,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c,
-        )
+        # SAME zero-padded depthwise conv, matching F.conv2d(padding=K//2).
+        out = np.empty_like(x)
+        for n in range(x.shape[0]):
+            for ch in range(x.shape[1]):
+                out[n, ch] = convolve(x[n, ch], win, mode="constant")
+        return out
 
+    del pad
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq
@@ -77,8 +82,8 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
     if size_average:
-        return jnp.mean(ssim_map)
-    return jnp.mean(ssim_map, axis=(1, 2, 3))
+        return float(np.mean(ssim_map))
+    return np.mean(ssim_map, axis=(1, 2, 3))
 
 
 _lpips_cache = {}

@@ -1,0 +1,78 @@
+"""Parallelism tests: mesh helpers + DP numerical equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msra_practice_project_tpu.models.nerf import nerf_model
+from msra_practice_project_tpu.parallel import mesh as mesh_lib
+from msra_practice_project_tpu.train import common
+from msra_practice_project_tpu.train.train_nerf import make_train_step
+
+CFG = {
+    "use_fine_model": True, "use_alpha": False,
+    "render_near": 2.0, "render_far": 6.0,
+    "render_coarse_sample_num": 4, "render_fine_sample_num": 8,
+}
+
+
+def test_make_mesh_sizes():
+    assert mesh_lib.make_mesh(1).devices.size == 1
+    assert mesh_lib.make_mesh(8).devices.size == 8
+    assert mesh_lib.make_mesh().devices.size == len(jax.devices())
+
+
+def test_shard_and_replicate_placement():
+    m = mesh_lib.make_mesh(8)
+    x = jnp.arange(64.0).reshape(8, 8)
+    xs = mesh_lib.shard_batch(x, m)
+    assert xs.sharding.num_devices == 8
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+    xr = mesh_lib.replicate(x, m)
+    assert xr.sharding.is_fully_replicated
+
+
+def _setup():
+    model = nerf_model(False)
+    key = jax.random.PRNGKey(0)
+    params = {"coarse": model.init(key),
+              "fine": model.init(jax.random.fold_in(key, 1))}
+    tx = common.adam(common.exponential_lr(5e-4, 500))
+    state = common.init_state(params, tx)
+    batch = jax.random.uniform(jax.random.fold_in(key, 2), (64, 10))
+    step = make_train_step(model, model, tx, CFG)
+    return state, batch, step, key
+
+
+def test_dp_step_matches_single_device():
+    """The sharded step must produce the same loss and updates as the
+    unsharded step (modulo reduction-order roundoff) — DP is a pure
+    parallelisation, not an algorithm change."""
+    state, batch, step, key = _setup()
+    k = jax.random.fold_in(key, 3)
+
+    s1, m1 = step(state, batch, k)
+
+    dp_mesh = mesh_lib.make_mesh(8)
+    state_r = mesh_lib.replicate(state, dp_mesh)
+    batch_s = jax.device_put(batch, mesh_lib.batch_sharding(dp_mesh))
+    s8, m8 = step(state_r, batch_s, k)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    w1 = np.asarray(s1["params"]["coarse"]["layers_pos"][0]["w"])
+    w8 = np.asarray(s8["params"]["coarse"]["layers_pos"][0]["w"])
+    np.testing.assert_allclose(w1, w8, atol=2e-5)
+
+
+def test_dp_two_steps_stay_in_sync():
+    state, batch, step, key = _setup()
+    dp_mesh = mesh_lib.make_mesh(8)
+    state_r = mesh_lib.replicate(state, dp_mesh)
+    batch_s = jax.device_put(batch, mesh_lib.batch_sharding(dp_mesh))
+    for i in range(2):
+        k = jax.random.fold_in(key, 10 + i)
+        state, m1 = step(state, batch, k)
+        state_r, m8 = step(state_r, batch_s, k)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
