@@ -40,7 +40,8 @@ PE_DIR = 32      # 24 used
 HID = 256
 RGB_HID = 128
 OUT_PAD = 8      # [rgb(3), sigma(1), pad(4)]
-TILE = 768  # best measured bwd tile (1024 exceeds VMEM)
+FWD_TILE = 768   # measured flat across 512..2048 (not grid-overhead bound)
+BWD_TILE = 768   # bwd stores 13 activations for recompute (1024 OOMs VMEM)
 
 
 def _pe_basis(input_offset: int, length: int, width: int):
@@ -166,28 +167,39 @@ def _fwd_kernel(bf16, *refs):
     out_ref[:] = out
 
 
-def _grid_specs(n_tiles):
+def _grid_specs(n_tiles, tile):
     names_in = [
-        pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+        pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_W
-    out_spec = pl.BlockSpec((TILE, OUT_PAD), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((tile, OUT_PAD), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.GridSpec(grid=(n_tiles,), in_specs=names_in,
                        out_specs=out_spec)
 
 
+def _pad_rows(arr, tile):
+    n = arr.shape[0]
+    pad = (-n) % tile
+    if pad == 0:
+        return arr
+    return jnp.pad(arr, ((0, pad), (0, 0)))
+
+
 @partial(jax.jit, static_argnames=("bf16", "interpret"))
 def _fused_forward(x_pad, weights, bf16=True, interpret=False):
     n = x_pad.shape[0]
-    n_tiles = n // TILE
+    tile = min(FWD_TILE, max(n, 8))
+    x_pad = _pad_rows(x_pad, tile)
+    n_tiles = x_pad.shape[0] // tile
     out = pl.pallas_call(
         partial(_fwd_kernel, bf16),
-        grid_spec=_grid_specs(n_tiles),
-        out_shape=jax.ShapeDtypeStruct((n, OUT_PAD), jnp.float32),
+        grid_spec=_grid_specs(n_tiles, tile),
+        out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], OUT_PAD),
+                                       jnp.float32),
         interpret=interpret,
     )(x_pad, *weights)
-    return out
+    return out[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -308,22 +320,26 @@ def _bwd_kernel(bf16, *refs):
 @partial(jax.jit, static_argnames=("bf16", "interpret"))
 def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
     n = x_pad.shape[0]
-    n_tiles = n // TILE
+    tile = min(BWD_TILE, max(n, 8))
+    x_pad = _pad_rows(x_pad, tile)
+    dy = _pad_rows(dy, tile)
+    n_pad = x_pad.shape[0]
+    n_tiles = n_pad // tile
     w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                 for w in weights[len(PE_NAMES):]]
     in_specs = (
-        [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+        [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_W
-        + [pl.BlockSpec((TILE, OUT_PAD), lambda i: (i, 0),
+        + [pl.BlockSpec((tile, OUT_PAD), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
     )
     out_specs = (
-        [pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+        [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(PACK_KEYS)
     )
-    out_shape = ([jax.ShapeDtypeStruct((n, IN_PAD), jnp.float32)]
+    out_shape = ([jax.ShapeDtypeStruct((n_pad, IN_PAD), jnp.float32)]
                  + w_shapes)
     outs = pl.pallas_call(
         partial(_bwd_kernel, bf16),
@@ -332,7 +348,7 @@ def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(x_pad, *weights, dy)
-    return outs[0], outs[1:]
+    return outs[0][:n], outs[1:]
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +369,7 @@ def _prep(params, x):
     shape = x.shape
     flat = x.reshape(-1, shape[-1])
     n = flat.shape[0]
-    n_pad = -(-n // TILE) * TILE
+    n_pad = -(-n // 8) * 8
     x_pad = jnp.zeros((n_pad, IN_PAD), jnp.float32)
     x_pad = x_pad.at[:n, :6].set(flat)
     return weights, x_pad, n, shape
