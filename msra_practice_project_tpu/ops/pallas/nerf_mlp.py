@@ -369,7 +369,10 @@ def _prep(params, x):
     shape = x.shape
     flat = x.reshape(-1, shape[-1])
     n = flat.shape[0]
-    n_pad = -(-n // 8) * 8
+    # pad up-front to the kernels' tile multiple so the per-kernel
+    # _pad_rows/unpad slices are identities (extra pads cost ~2 ms/step)
+    tile_mult = max(FWD_TILE, BWD_TILE)
+    n_pad = -(-n // tile_mult) * tile_mult
     x_pad = jnp.zeros((n_pad, IN_PAD), jnp.float32)
     x_pad = x_pad.at[:n, :6].set(flat)
     return weights, x_pad, n, shape
