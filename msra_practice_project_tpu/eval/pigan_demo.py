@@ -35,6 +35,32 @@ DEMO_RES = 128
 DEMO_COARSE, DEMO_FINE = 32, 64
 
 
+# Activation-memory budget for demo renders: the fully-batched training path
+# would allocate B x rays x samples x 256 floats at once; demo geometries
+# (64 ids at 64^2+, or 128^2 with 96 samples) overflow HBM, so demos render
+# identities in chunks (the reference loops per-sample for the same reason,
+# pi_GAN/utils.py:195-198 — we just pick the largest chunk that fits).
+_POINT_BUDGET = 2_000_000  # point-samples per render call (~2 GB activations)
+
+
+def _chunk_size(resolution, coarse, fine):
+    pts = resolution * resolution * (2 * coarse + fine)
+    return max(1, _POINT_BUDGET // max(pts, 1))
+
+
+def _render_chunked(generator, g_params, key, film, theta, phi, resolution,
+                    coarse, fine, fov=None):
+    c = _chunk_size(resolution, coarse, fine)
+    outs = []
+    for lo in range(0, film.shape[0], c):
+        outs.append(np.asarray(generator.render_film(
+            g_params, jax.random.fold_in(key, 7000 + lo),
+            film[lo:lo + c], theta[lo:lo + c], phi[lo:lo + c],
+            resolution=resolution, coarse_samples=coarse,
+            fine_samples=fine, fov=fov)))
+    return np.concatenate(outs, axis=0)
+
+
 def render_films(generator, g_params, key, film, poses, resolution=DEMO_RES,
                  coarse=DEMO_COARSE, fine=DEMO_FINE, fov=None):
     """film [B, 9, 512] x poses [(theta, phi), ...] -> [B, P, H, W, 3]."""
@@ -43,11 +69,10 @@ def render_films(generator, g_params, key, film, poses, resolution=DEMO_RES,
         theta = jnp.full((film.shape[0],), float(pose[0]))
         phi = jnp.full((film.shape[0],), float(pose[1]))
         f = float(pose[2]) if len(pose) >= 3 else fov
-        img = generator.render_film(
-            g_params, jax.random.fold_in(key, i), film, theta, phi,
-            resolution=resolution, coarse_samples=coarse, fine_samples=fine,
-            fov=f)
-        out.append(np.asarray(img))
+        img = _render_chunked(generator, g_params,
+                              jax.random.fold_in(key, i), film, theta, phi,
+                              resolution, coarse, fine, f)
+        out.append(img)
     return np.stack(out, axis=1)
 
 
@@ -65,9 +90,8 @@ def save_demo(generator, g_params, key, file_name, rows=8, columns=8,
     z = jax.random.normal(kz, (num, generator.cfg.z_dim))
     film = generator.get_mapping(g_params, z)
     theta, phi = generator.sample_poses(kp, num)
-    imgs = np.asarray(generator.render_film(
-        g_params, kr, film, theta, phi, resolution=resolution,
-        coarse_samples=coarse, fine_samples=fine))
+    imgs = _render_chunked(generator, g_params, kr, film, theta, phi,
+                           resolution, coarse, fine)
     image_io.imwrite(file_name, _grid(imgs.reshape(rows, columns,
                                                    *imgs.shape[1:])))
 

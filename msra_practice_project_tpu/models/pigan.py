@@ -213,22 +213,22 @@ class Generator:
         return theta, phi
 
     @partial(jax.jit, static_argnames=("self", "resolution",
-                                       "coarse_samples", "fine_samples",
-                                       "fov"))
+                                       "coarse_samples", "fine_samples"))
     def render_film(self, params, key, film, theta, phi,
                     resolution: int | None = None,
                     coarse_samples: int | None = None,
                     fine_samples: int | None = None,
-                    fov: float | None = None):
+                    fov=None):
         """Render [B, n_film, 2h] film codes at poses (theta, phi) [B] ->
         [B, H, W, 3].  The trunk serves as both coarse and fine model
-        (pi_GAN/modules.py:160-161)."""
+        (pi_GAN/modules.py:160-161).  `fov` is TRACED (the fov-sweep demo
+        renders many fovs — one compile, not one per fov)."""
         cfg = self.cfg
         res = resolution or cfg.resolution
         nc = coarse_samples or cfg.coarse_samples
         nf = fine_samples or cfg.fine_samples
         fov = fov if fov is not None else cfg.fov
-        focal = res / 2.0 / math.tan(fov / 2.0 * math.pi / 180.0)
+        focal = res / 2.0 / jnp.tan(fov / 2.0 * math.pi / 180.0)
 
         poses = jax.vmap(lambda t, p: ray_ops.camera_pose(1.0, t, p))(theta, phi)
         rays_o, rays_d = jax.vmap(

@@ -1,0 +1,106 @@
+"""End-to-end pi-GAN validation: does the generator learn the data
+distribution, and do its samples stay 3D-consistent?
+
+Trains on the synthetic blob dataset (a single coloured Gaussian blob on a
+light background per image) and checks, before vs after training:
+  * colour-histogram distance between generated samples and the dataset
+    shrinks substantially,
+  * per-sample diversity stays non-degenerate (no mode collapse to one
+    image),
+  * the same latent rendered at two nearby yaws produces similar but
+    non-identical images (3D consistency of the radiance field).
+
+Run: python tools/validate_pigan.py [iterations]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msra_practice_project_tpu.core.config import PIGAN_TRAIN_DEFAULTS, resolve
+from msra_practice_project_tpu.train import train_pigan
+
+
+def color_hist(imgs, bins=16):
+    """imgs [N, H, W, 3] in [0,1] -> normalised per-channel histogram."""
+    hs = []
+    for c in range(3):
+        h, _ = np.histogram(imgs[..., c], bins=bins, range=(0, 1),
+                            density=True)
+        hs.append(h / bins)
+    return np.concatenate(hs)
+
+
+def sample(generator, g_params, key, n, res):
+    z = jax.random.normal(key, (n, generator.cfg.z_dim))
+    film = generator.get_mapping(g_params, z)
+    theta, phi = generator.sample_poses(jax.random.fold_in(key, 1), n)
+    return np.asarray(generator.render_film(
+        g_params, jax.random.fold_in(key, 2), film, theta, phi,
+        resolution=res)), film
+
+
+def main(iterations=1200):
+    base = "/tmp/pigan_validate"
+    cfg = resolve({
+        "output_path": base, "experiment_name": "exp",
+        "data_path": "/nonexistent", "z_dim": 256,
+        "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
+        "iterations": [iterations], "fade_in_itrs": [0],
+        "batch_size": [16], "resolution": [32],
+        "i_print": max(iterations // 5, 1), "i_save": iterations,
+        "i_image": iterations, "data_n": 128,
+    }, PIGAN_TRAIN_DEFAULTS)
+
+    # untrained reference point
+    from msra_practice_project_tpu.models import pigan
+    gen_cfg = pigan.GeneratorConfig(
+        z_dim=256, resolution=32, near=cfg.render_near, far=cfg.render_far,
+        coarse_samples=8, fine_samples=16)
+    g0 = pigan.Generator(gen_cfg)
+    p0 = g0.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    samples0, _ = sample(g0, p0, key, 32, 32)
+
+    out = train_pigan.train(cfg)
+    generator = out["generator"]
+    g_params = out["g_state"]["params"]
+    samples1, film = sample(generator, g_params, key, 32, 32)
+
+    # dataset histogram
+    from msra_practice_project_tpu.data.image_folder import ImageFolder
+    ds = ImageFolder(os.path.join(base, "exp", "_synthetic_faces"), 64,
+                     resize=0.5)
+    _, _, real = ds.get()
+    h_real = color_hist(np.asarray(real))
+    d0 = np.abs(color_hist(samples0) - h_real).mean()
+    d1 = np.abs(color_hist(samples1) - h_real).mean()
+    diversity = samples1.std(axis=0).mean()
+    print(f"[validate] hist distance untrained {d0:.4f} -> trained {d1:.4f}")
+    print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
+
+    # 3D consistency: same identity, two nearby yaws
+    th = jnp.array([0.0, 0.25])
+    ph = jnp.zeros((2,))
+    pair = np.asarray(generator.render_film(
+        g_params, jax.random.fold_in(key, 9), film[:1].repeat(2, 0), th, ph,
+        resolution=32))
+    delta = np.abs(pair[0] - pair[1]).mean()
+    print(f"[validate] yaw-shift mean pixel delta: {delta:.4f} "
+          "(0 = 2D collapse, large = view-inconsistent)")
+
+    ok = (d1 < 0.66 * d0) and diversity > 0.02 and 1e-4 < delta < 0.3
+    print("[validate]", "PASS" if ok else "FAIL",
+          "(hist improves >=34%, diverse samples, view-consistent)")
+    return ok
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)
