@@ -225,3 +225,24 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def show_pose_distribution(generator, key, n=1000, save_path=None):
+    """Scatter of the camera-pose prior theta~N(0,h_std), phi~N(0,v_std)
+    (ref: pi_GAN/modules.py:148-152 Renderer.show_distribution)."""
+    import matplotlib
+    if save_path is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    theta, phi = generator.sample_poses(key, n)
+    plt.figure(figsize=(4, 4))
+    plt.scatter(np.asarray(theta), np.asarray(phi), s=3)
+    plt.xlabel("theta (rad)")
+    plt.ylabel("phi (rad)")
+    plt.tight_layout()
+    if save_path is not None:
+        plt.savefig(save_path, dpi=150)
+        plt.close()
+    else:
+        plt.show()

@@ -236,3 +236,26 @@ def test_lpips_torch_checkpoint_roundtrip(tmp_path):
     v = M.lpips(img, img, str(tmp_path))
     assert v is not None and v < 1e-6
     assert M.lpips(img, img, None) is None
+
+
+def test_ckpt_corrupt_file_raises(tmp_path):
+    """A truncated snapshot must fail loudly, not restore garbage."""
+    log = str(tmp_path)
+    state = {"w": jnp.arange(4.0)}
+    path = ckpt.save(log, 5, state)
+    with open(path, "wb") as f:
+        f.write(b"\x00\x01garbage")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ckpt.restore(path, state)
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    from msra_practice_project_tpu.core.diagnostics import StepProfiler
+
+    prof = StepProfiler(str(tmp_path), steps=2, skip=0)
+    for step in range(1, 6):
+        prof.tick(step)
+        _ = jnp.arange(8.0).sum().block_until_ready()
+    prof.stop()
+    assert os.path.isdir(os.path.join(str(tmp_path), "profile"))

@@ -173,3 +173,14 @@ def test_pigan_test_diagnostics(pigan_exp, capsys):
     captured = capsys.readouterr().out
     assert "D logits (generated):" in captured
     assert os.path.exists(os.path.join(log, "loss_curves.png"))
+
+
+def test_pose_prior_scatter(pigan_exp, tmp_path):
+    from msra_practice_project_tpu.eval import pigan_demo
+
+    cfg, _ = pigan_exp
+    generator, _, state, _ = pigan_demo.load_generator(cfg)
+    out = str(tmp_path / "poses.png")
+    pigan_demo.show_pose_distribution(generator, jax.random.PRNGKey(0),
+                                      n=100, save_path=out)
+    assert os.path.exists(out)

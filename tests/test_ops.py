@@ -246,3 +246,16 @@ def test_render_image_shapes_and_content():
     # center pixel hits the red sphere; corner pixel sees white background
     assert rgbn[10, 10, 0] > 0.95 and rgbn[10, 10, 1] < 0.05
     assert rgbn[0, 0].min() > 0.95
+
+
+def test_render_video_stacks_frames():
+    key = jax.random.PRNGKey(0)
+    poses = [np.asarray(rays.camera_pose_deg(4.0, t, -20.0))
+             for t in (0.0, 90.0)]
+    f = jax.tree_util.Partial(_sphere_field)
+    rgbv, depthv, accv = render.render_video(
+        key, 8, 8, 9.0, poses, 2.0, 6.0, f, f, 8, 16, chunk=64)
+    assert rgbv.shape == (2, 8, 8, 3)
+    assert depthv.shape == (2, 8, 8, 1)
+    assert accv.shape == (2, 8, 8, 1)
+    assert not np.allclose(rgbv[0], rgbv[1])  # different views differ
