@@ -22,7 +22,7 @@ import optax
 
 from ..core import ckpt as ckpt_lib
 from ..core import diagnostics
-from ..core import image_io, metrics
+from ..core import image_io
 from ..core.config import SIREN_IMG_DEFAULTS, log_dir, save_config
 from ..core.logging import MetricLogger, log_print
 from ..data import image as image_data
