@@ -127,6 +127,78 @@ def render_image(key, width, height, focal, c2w, near, far, coarse_fn,
     )
 
 
+def _sharded_tile_fn(mesh, axis, near, far, coarse_sample_num,
+                     fine_sample_num, perturb, white_bkgd):
+    from jax.sharding import PartitionSpec as P
+
+    def run(keys, rays_o, rays_d, coarse_fn, fine_fn):
+        def local(keys, ro, rd, coarse_fn, fine_fn):
+            def tile(args):
+                k, o, d = args
+                out = render_rays(
+                    k, o, d, near, far, coarse_fn, fine_fn,
+                    coarse_sample_num, fine_sample_num, perturb, white_bkgd,
+                )
+                return out["rgb_fine"], out["depth_fine"], out["acc_fine"]
+
+            return jax.lax.map(tile, (keys, ro, rd))
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )(keys, rays_o, rays_d, coarse_fn, fine_fn)
+
+    return jax.jit(run)
+
+
+_SHARDED_TILE_CACHE: dict = {}
+
+
+def render_image_sharded(key, width, height, focal, c2w, near, far,
+                         coarse_fn, fine_fn, coarse_sample_num: int,
+                         fine_sample_num: int, mesh, chunk: int = 4096,
+                         perturb: bool = True, white_bkgd: bool = True,
+                         axis: str = "data"):
+    """`render_image` with the ray-tile axis sharded over a device mesh.
+
+    Each device renders its own contiguous block of ray tiles (lax.map over
+    the local tiles inside a shard_map), so eval/demo renders scale across
+    chips the same way train batches do — the SP/CP role SURVEY §2.4
+    identifies for the rays axis.  Output equals `render_image` for the same
+    tiling (exactly so when perturb=False).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    total = width * height
+    chunk = min(chunk, max(1, -(-total // n_dev)))
+    rays_o, rays_d = get_rays_flat(width, height, focal, jnp.asarray(c2w))
+    rays_o, n = _pad_to_multiple(rays_o, chunk * n_dev)
+    rays_d, _ = _pad_to_multiple(rays_d, chunk * n_dev)
+    n_tiles = rays_o.shape[0] // chunk
+    rays_o = rays_o.reshape(n_tiles, chunk, 3)
+    rays_d = rays_d.reshape(n_tiles, chunk, 3)
+    keys = jax.random.split(key, n_tiles)
+
+    sh = NamedSharding(mesh, P(axis))
+    rays_o = jax.device_put(rays_o, sh)
+    rays_d = jax.device_put(rays_d, sh)
+    keys = jax.device_put(keys, sh)
+
+    cache_key = (mesh, axis, float(near), float(far), coarse_sample_num,
+                 fine_sample_num, perturb, white_bkgd)
+    fn = _SHARDED_TILE_CACHE.get(cache_key)
+    if fn is None:
+        fn = _sharded_tile_fn(*cache_key)
+        _SHARDED_TILE_CACHE[cache_key] = fn
+    rgb, depth, acc = fn(keys, rays_o, rays_d, coarse_fn, fine_fn)
+    rgb = rgb.reshape(-1, 3)[:n].reshape(height, width, 3)
+    depth = depth.reshape(-1)[:n].reshape(height, width, 1)
+    acc = acc.reshape(-1)[:n].reshape(height, width, 1)
+    return rgb, depth, acc
+
+
 def render_video(key, width, height, focal, poses, near, far, coarse_fn,
                  fine_fn, coarse_sample_num, fine_sample_num,
                  chunk: int = 4096):
