@@ -56,21 +56,20 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     if img1.ndim == 3:  # HWC -> NCHW
         img1 = np.transpose(img1, (2, 0, 1))[None]
         img2 = np.transpose(img2, (2, 0, 1))[None]
-    win = _gaussian_window(window_size, 1.5).astype(np.float64)
+    g = np.array(
+        [math.exp(-((x - window_size // 2) ** 2) / (2.0 * 1.5**2))
+         for x in range(window_size)], dtype=np.float64)
+    g /= g.sum()
 
-    from scipy.ndimage import convolve
-
-    pad = window_size // 2
+    from scipy.ndimage import convolve1d
 
     def conv(x):
         # SAME zero-padded depthwise conv, matching F.conv2d(padding=K//2).
-        out = np.empty_like(x)
-        for n in range(x.shape[0]):
-            for ch in range(x.shape[1]):
-                out[n, ch] = convolve(x[n, ch], win, mode="constant")
-        return out
-
-    del pad
+        # The Gaussian window is separable (outer(g, g)), so two 1-D passes
+        # vectorised over [N, C] replace the per-channel 2-D python loop —
+        # a 400^2 frame takes milliseconds instead of seconds.
+        out = convolve1d(x, g, axis=-1, mode="constant")
+        return convolve1d(out, g, axis=-2, mode="constant")
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq

@@ -176,7 +176,17 @@ def train(config) -> dict:
     if found is not None:
         global_step, restored = found
         g_state, d_state = restored["g"], restored["d"]
-        log_print(f"Resumed at step {global_step}")
+        # Resume the loss history too (the reference keeps loss_log inside
+        # the ckpt, pi_GAN/train.py:162-172; here it rides the sidecar
+        # .npy).  Truncate to global_step entries in case the sidecar was
+        # written at a different save point than the restored ckpt.
+        log_file = os.path.join(log_path, "loss_log.npy")
+        if os.path.isfile(log_file):
+            prev = np.load(log_file, allow_pickle=True).item()
+            loss_log = {k: [float(v) for v in prev.get(k, [])][:global_step]
+                        for k in loss_log}
+        log_print(f"Resumed at step {global_step} "
+                  f"({len(loss_log['g_loss'])} logged losses)")
     else:
         global_step = 0
 

@@ -134,6 +134,13 @@ def train(config) -> dict:
     logger = MetricLogger(["loss"])
     root_key = jax.random.PRNGKey(config.get("seed", 0) + 1)
 
+    # Initial + per-epoch reshuffle of the on-surface cloud — the intended
+    # behaviour of siren/train_sdf.py:70-71 (whose reshuffle result is
+    # assigned to a dead variable), mirroring the NeRF fix.
+    shuffle_key = jax.random.PRNGKey(config.get("seed", 0) + 2)
+    cloud = jax.random.permutation(jax.random.fold_in(shuffle_key, 0),
+                                   cloud, axis=0)
+
     batch_idx, epoch_idx = 0, 0
     batch_num = max(n // batch_size, 1)
     i_mesh = config.get("i_mesh", 1000)
@@ -148,6 +155,8 @@ def train(config) -> dict:
         if (batch_idx + 1) * batch_size > n:
             batch_idx = 0
             epoch_idx += 1
+            cloud = jax.random.permutation(
+                jax.random.fold_in(shuffle_key, epoch_idx), cloud, axis=0)
         logger.append(loss=m["loss"])
 
         if global_step % config.i_print == 0:

@@ -166,6 +166,62 @@ def test_pigan_d_and_g_both_learn(pigan_run):
     assert int(out["d_state"]["step"]) == 10
 
 
+def test_train_pigan_loss_log_survives_resume(tmp_path):
+    """loss_log.npy must span both runs after a kill/restart — the reference
+    persists the full history in the ckpt (pi_GAN/train.py:162-172)."""
+    from msra_practice_project_tpu.train import train_pigan
+
+    base = {
+        "output_path": str(tmp_path), "experiment_name": "pigan_resume",
+        "data_path": "/nonexistent", "z_dim": 16,
+        "render_coarse_sample_num": 2, "render_fine_sample_num": 2,
+        "iterations": [6], "fade_in_itrs": [0],
+        "batch_size": [2], "resolution": [8],
+        "i_print": 100, "i_save": 3, "i_image": 100, "data_n": 4,
+    }
+    cfg = resolve(dict(base), PIGAN_TRAIN_DEFAULTS)
+    train_pigan.train(cfg)
+    log = np.load(tmp_path / "pigan_resume" / "loss_log.npy",
+                  allow_pickle=True).item()
+    assert len(log["g_loss"]) == 6
+
+    cfg2 = resolve(dict(base, iterations=[12]), PIGAN_TRAIN_DEFAULTS)
+    out = train_pigan.train(cfg2)
+    # resumed from 6 (last ckpt) -> history covers ALL 12 steps
+    assert len(out["loss_log"]["g_loss"]) == 12
+    assert np.isfinite(out["loss_log"]["g_loss"]).all()
+    log = np.load(tmp_path / "pigan_resume" / "loss_log.npy",
+                  allow_pickle=True).item()
+    assert len(log["d_loss"]) == 12
+
+
+def test_train_sdf_reshuffles_each_epoch(tmp_path, monkeypatch):
+    """Batch composition must change across epochs (intended behaviour of
+    siren/train_sdf.py:70-71, where the reshuffle is dead code)."""
+    import jax
+    from msra_practice_project_tpu.train import train_sdf
+
+    seen = []
+    orig = train_sdf._train_step
+
+    def spy(state, cloud, batch_start, key, **kw):
+        seen.append((int(batch_start), np.asarray(cloud[:4, :3]).copy()))
+        return orig(state, cloud, batch_start, key, **kw)
+
+    monkeypatch.setattr(train_sdf, "_train_step", spy)
+    cfg = _cfg(tmp_path, "sdf_shuf", SIREN_SDF_DEFAULTS, iterations=6,
+               batch_size=256, i_print=1000, i_save=100, i_mesh=100,
+               mesh_n=8, final_mesh_n=8, data_points=512, data_path="")
+    train_sdf.train(cfg)
+    # 512 pts / 256 batch -> epoch boundary after step 1 (ragged-tail drop);
+    # collect the cloud head at the same batch_start in different epochs.
+    starts = [s for s, _ in seen]
+    assert 0 in starts and starts.count(0) >= 2
+    heads = [h for s, h in seen if s == 0]
+    assert not np.allclose(heads[0], heads[1]), (
+        "cloud was not reshuffled between epochs")
+
+
 def test_fused_mlp_disabled_on_cpu(tmp_path):
     """The use_fused_mlp default must auto-disable off-TPU (Pallas compiled
     kernels are TPU-only; CPU uses the XLA path transparently)."""
