@@ -42,20 +42,15 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return np.outer(g, g)
 
 
-def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
-    """SSIM over NCHW images (matches nerf/pytorch_ssim/__init__.py:17-37).
+def _to_nchw64(img):
+    x = np.asarray(img, np.float64)
+    if x.ndim == 3:  # HWC -> NCHW
+        x = np.transpose(x, (2, 0, 1))[None]
+    return x
 
-    Accepts [N, C, H, W] or [H, W, C] (auto-promoted).  Computed host-side in
-    float64: the textbook variance form conv(x^2) - mu^2 catastrophically
-    cancels in fp32 on smooth/near-identical images (values can exceed 1 —
-    the reference's vendored fp32 implementation has the same artifact);
-    float64 keeps the map in [-1, 1] for an eval-only metric.
-    """
-    img1 = np.asarray(img1, np.float64)
-    img2 = np.asarray(img2, np.float64)
-    if img1.ndim == 3:  # HWC -> NCHW
-        img1 = np.transpose(img1, (2, 0, 1))[None]
-        img2 = np.transpose(img2, (2, 0, 1))[None]
+
+def _ssim_and_cs_maps(img1, img2, window_size: int):
+    """Per-pixel SSIM map and contrast-structure (cs) map, NCHW float64."""
     g = np.array(
         [math.exp(-((x - window_size // 2) ** 2) / (2.0 * 1.5**2))
          for x in range(window_size)], dtype=np.float64)
@@ -66,10 +61,10 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     def conv(x):
         # SAME zero-padded depthwise conv, matching F.conv2d(padding=K//2).
         # The Gaussian window is separable (outer(g, g)), so two 1-D passes
-        # vectorised over [N, C] replace the per-channel 2-D python loop —
-        # a 400^2 frame takes milliseconds instead of seconds.
+        # vectorised over [N, C] replace a per-channel 2-D python loop.
         out = convolve1d(x, g, axis=-1, mode="constant")
         return convolve1d(out, g, axis=-2, mode="constant")
+
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = conv(img1 * img1) - mu1_sq
@@ -77,12 +72,73 @@ def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
     sigma12 = conv(img1 * img2) - mu1_mu2
 
     c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
-    )
+    lum = (2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)
+    cs = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    return lum * cs, cs
+
+
+def ssim(img1, img2, window_size: int = 11, size_average: bool = True):
+    """SSIM over NCHW images (matches nerf/pytorch_ssim/__init__.py:17-37).
+
+    Accepts [N, C, H, W] or [H, W, C] (auto-promoted).  Computed host-side in
+    float64: the textbook variance form conv(x^2) - mu^2 catastrophically
+    cancels in fp32 on smooth/near-identical images (values can exceed 1 —
+    the reference's vendored fp32 implementation has the same artifact);
+    float64 keeps the map in [-1, 1] for an eval-only metric.
+    """
+    img1, img2 = _to_nchw64(img1), _to_nchw64(img2)
+    ssim_map, _ = _ssim_and_cs_maps(img1, img2, window_size)
     if size_average:
         return float(np.mean(ssim_map))
     return np.mean(ssim_map, axis=(1, 2, 3))
+
+
+MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(img1, img2, window_size: int = 11):
+    """Multi-scale SSIM (Wang, Simoncelli & Bovik 2003), self-contained.
+
+    Standard 5-scale exponents; the scale count adapts downward so the
+    coarsest scale still covers the 11x11 window (exponents renormalised),
+    letting small validation frames score sensibly.  Downsampling is 2x2
+    average pooling, as in the original.
+    """
+    a, b = _to_nchw64(img1), _to_nchw64(img2)
+
+    levels = 1
+    while (levels < len(MS_SSIM_WEIGHTS)
+           and min(a.shape[-2:]) // 2**levels >= window_size):
+        levels += 1
+    w = np.array(MS_SSIM_WEIGHTS[:levels])
+    w = w / w.sum()
+
+    def pool2(x):
+        h, wd = x.shape[-2] // 2 * 2, x.shape[-1] // 2 * 2
+        x = x[..., :h, :wd]
+        return x.reshape(*x.shape[:-2], h // 2, 2, wd // 2, 2).mean((-3, -1))
+
+    vals = []
+    for i in range(levels):
+        ssim_map, cs_map = _ssim_and_cs_maps(a, b, window_size)
+        if i < levels - 1:
+            vals.append(np.mean(cs_map))
+            a, b = pool2(a), pool2(b)
+        else:
+            vals.append(np.mean(ssim_map))
+    vals = np.clip(np.array(vals), 1e-6, None)  # guard negative ** fraction
+    return float(np.prod(vals**w))
+
+
+def perceptual_distance(img1, img2, weights_dir: str | None = None):
+    """(distance, provenance) — real LPIPS(alex) when pretrained weights
+    exist, else the self-contained fallback `1 - MS-SSIM` (clearly labelled:
+    it is NOT LPIPS, but a deterministic perceptual distance that needs no
+    external weights).  Lower is better for both."""
+    lp = lpips(img1, img2, weights_dir)
+    if lp is not None:
+        return lp, "lpips-alex"
+    return 1.0 - ms_ssim(img1, img2), "1-msssim"
 
 
 _lpips_cache = {}

@@ -21,7 +21,7 @@ from .analysis_view import load_test_json  # noqa: E402
 
 
 def run(out_prefix: str, sweep: list[tuple[float, str]]):
-    metric_names = ["psnr", "ssim", "lpips"]
+    metric_names = ["psnr", "ssim", "lpips", "perceptual"]
     for metric in metric_names:
         plt.figure(figsize=(6, 4))
         any_data = False
@@ -29,7 +29,8 @@ def run(out_prefix: str, sweep: list[tuple[float, str]]):
             xs, ys = [], []
             for value, log_path in sweep:
                 data = load_test_json(log_path)
-                vals = [v for v in data[metric][split] if v is not None]
+                vals = [v for v in data.get(metric, {}).get(split, [])
+                        if v is not None]
                 if not vals:
                     continue
                 xs.append(value)

@@ -45,7 +45,9 @@ def load_test_json(log_path: str) -> dict:
 
 
 def run(out_prefix: str, log_paths: list[str]):
-    metric_names = ["psnr", "ssim", "lpips"]
+    # "perceptual" is LPIPS when weights exist, else labelled 1-MS-SSIM
+    # (test_nerf writes the provenance to test.json["perceptual_metric"]).
+    metric_names = ["psnr", "ssim", "lpips", "perceptual"]
     colors = ["m", "g", "b"]
     for metric in metric_names:
         plt.figure(figsize=(6, 4))
@@ -55,7 +57,7 @@ def run(out_prefix: str, log_paths: list[str]):
             xs, ys = [], []
             for split, marker in [("train", "o"), ("in", "s"), ("ex", "^")]:
                 x = data["dist"][split]
-                y = data[metric][split]
+                y = data.get(metric, {}).get(split, [])
                 pairs = [(a, b) for a, b in zip(x, y) if b is not None]
                 if not pairs:
                     continue

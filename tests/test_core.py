@@ -64,6 +64,37 @@ def test_ssim_matches_torch_reference(rng):
     assert np.isclose(got, want, atol=1e-4)
 
 
+def test_ms_ssim_properties(rng):
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    assert metrics.ms_ssim(img, img) > 0.999
+    noisy = np.clip(img + rng.normal(scale=0.2, size=img.shape), 0, 1)
+    small_noise = np.clip(img + rng.normal(scale=0.02, size=img.shape), 0, 1)
+    s_big = metrics.ms_ssim(img, noisy.astype(np.float32))
+    s_small = metrics.ms_ssim(img, small_noise.astype(np.float32))
+    assert 0.0 < s_big < s_small < 1.0
+
+
+def test_ms_ssim_adapts_scales_to_small_images(rng):
+    # 16x16 supports only one 11-window scale; must not crash or go out of
+    # range.
+    img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    other = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    s = metrics.ms_ssim(img, other)
+    assert -1.0 <= s <= 1.0
+    # at a single scale MS-SSIM degenerates to plain SSIM
+    assert np.isclose(s, float(metrics.ssim(img, other)), atol=1e-6)
+
+
+def test_perceptual_distance_fallback(rng):
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    noisy = np.clip(img + rng.normal(scale=0.1, size=img.shape),
+                    0, 1).astype(np.float32)
+    d, metric = metrics.perceptual_distance(img, noisy, weights_dir=None)
+    assert metric == "1-msssim"
+    d_self, _ = metrics.perceptual_distance(img, img, weights_dir=None)
+    assert d_self < 0.001 < d
+
+
 # ---------------------------------------------------------------------------
 # mesh extraction
 # ---------------------------------------------------------------------------

@@ -38,6 +38,11 @@ def test_test_nerf_sweep(nerf_exp):
     assert len(loaded["psnr"]["train"]) > 0
     assert all(np.isfinite(v) for v in loaded["psnr"]["train"])
     assert all(0 <= v <= 1 for v in loaded["ssim"]["train"])
+    # perceptual score must be non-null with provenance recorded
+    # (1-msssim fallback in a no-weights environment)
+    assert loaded["perceptual_metric"] == "1-msssim"
+    assert all(v is not None and np.isfinite(v)
+               for v in loaded["perceptual"]["train"])
 
 
 def test_show_nerf_orbit(nerf_exp):
