@@ -28,13 +28,30 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 30
 
 
-def bench_nerf_train():
+def _make_batch(key, batch):
+    """Synthetic ray batch with lego-like geometry (radius-4 orbit)."""
+    import jax
+    import jax.numpy as jnp
+
+    ro = jax.random.normal(key, (batch, 3)) * 0.1 + jnp.array([0, 0, 4.0])
+    rd = -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True) + \
+        0.1 * jax.random.normal(jax.random.fold_in(key, 1), (batch, 3))
+    rgba = jax.random.uniform(jax.random.fold_in(key, 2), (batch, 4))
+    return jnp.concatenate([ro, rd, rgba], axis=1)
+
+
+def bench_nerf_train(batch=BATCH, chunk=10, report_single=True):
+    """Measure the production train path: `steps_per_call` steps per
+    dispatch via make_train_multistep (exactly what train_nerf.train runs
+    with steps_per_call>1).  Also reports the one-dispatch-per-step number
+    to stderr for dispatch-overhead tracking."""
     import jax
     import jax.numpy as jnp
 
     from msra_practice_project_tpu.models.nerf import nerf_model
     from msra_practice_project_tpu.train import common
-    from msra_practice_project_tpu.train.train_nerf import make_train_step
+    from msra_practice_project_tpu.train.train_nerf import (
+        make_train_multistep, make_train_step)
 
     cfg = {
         "use_fine_model": True, "use_alpha": False,
@@ -47,27 +64,39 @@ def bench_nerf_train():
               "fine": model.init(jax.random.fold_in(key, 1))}
     tx = common.adam(common.exponential_lr(5e-4, 500))
     state = common.init_state(params, tx)
-    step_fn = make_train_step(model, model, tx, cfg)
 
-    # Synthetic ray batch with lego-like geometry (rays from radius-4 orbit).
     kb = jax.random.fold_in(key, 2)
-    ro = jax.random.normal(kb, (BATCH, 3)) * 0.1 + jnp.array([0, 0, 4.0])
-    rd = -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True) + \
-        0.1 * jax.random.normal(jax.random.fold_in(kb, 1), (BATCH, 3))
-    rgba = jax.random.uniform(jax.random.fold_in(kb, 2), (BATCH, 4))
-    batch = jnp.concatenate([ro, rd, rgba], axis=1)
+    batches = jnp.stack(
+        [_make_batch(jax.random.fold_in(kb, i), batch) for i in range(chunk)])
+    keys = jax.random.split(jax.random.fold_in(key, 3), chunk)
 
-    for i in range(WARMUP_STEPS):
-        state, m = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
-    np.asarray(m["loss"])  # sync (block_until_ready unreliable on axon)
-
+    multi_fn = make_train_multistep(model, model, tx, cfg)
+    for i in range(2):
+        state, ms = multi_fn(state, batches, keys)
+    np.asarray(ms["loss"])  # sync (block_until_ready unreliable on axon)
+    n_calls = max(BENCH_STEPS // chunk, 3)
     t0 = time.perf_counter()
-    for i in range(BENCH_STEPS):
-        state, m = step_fn(state, batch, jax.random.fold_in(key, 200 + i))
-    np.asarray(m["loss"])  # sync
+    for i in range(n_calls):
+        state, ms = multi_fn(state, batches, keys)
+    np.asarray(ms["loss"])  # sync
     dt = time.perf_counter() - t0
-    steps_per_sec = BENCH_STEPS / dt
-    return BATCH * steps_per_sec, steps_per_sec
+    steps_per_sec = n_calls * chunk / dt
+
+    if report_single:
+        step_fn = make_train_step(model, model, tx, cfg)
+        b0 = batches[0]
+        for i in range(WARMUP_STEPS):
+            state1, m = step_fn(state, b0, keys[0])
+        np.asarray(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(BENCH_STEPS):
+            state1, m = step_fn(state, b0, keys[0])
+        np.asarray(m["loss"])
+        single = batch * BENCH_STEPS / (time.perf_counter() - t0)
+        print(f"[bench] nerf train single-dispatch: {single:,.0f} rays/s "
+              f"(dispatch overhead probe)", file=sys.stderr)
+
+    return batch * steps_per_sec, steps_per_sec
 
 
 def bench_pigan_gen():
@@ -124,6 +153,13 @@ def bench_pigan_train():
 
 def main():
     rays_per_sec, steps_per_sec = bench_nerf_train()
+    try:
+        big_rays, _ = bench_nerf_train(batch=4096, chunk=4,
+                                       report_single=False)
+        print(f"[bench] nerf train @ batch 4096: {big_rays:,.0f} rays/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] batch-4096 bench failed: {e}", file=sys.stderr)
     try:
         imgs_per_sec = bench_pigan_gen()
         print(f"[bench] pigan generator fwd: {imgs_per_sec:.1f} imgs/s "

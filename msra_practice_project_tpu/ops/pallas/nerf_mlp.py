@@ -26,6 +26,7 @@ matmuls); with bf16=False it matches to fp32 roundoff.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -40,8 +41,9 @@ PE_DIR = 32      # 24 used
 HID = 256
 RGB_HID = 128
 OUT_PAD = 8      # [rgb(3), sigma(1), pad(4)]
-FWD_TILE = 768   # measured flat across 512..2048 (not grid-overhead bound)
-BWD_TILE = 768   # bwd stores 13 activations for recompute (1024 OOMs VMEM)
+# Tile sizes are env-tunable for on-chip sweeps (tools/roofline_nerf.py).
+FWD_TILE = int(os.environ.get("NERF_MLP_FWD_TILE", 768))
+BWD_TILE = int(os.environ.get("NERF_MLP_BWD_TILE", 768))
 
 
 def _pe_basis(input_offset: int, length: int, width: int):
@@ -64,6 +66,27 @@ def _pe_basis(input_offset: int, length: int, width: int):
             Ssin[prod, i * 6 + d] = 1.0
             Scos[prod, i * 6 + 3 + d] = 1.0
     return F, Ssin, Scos
+
+
+def _pe_basis_combined():
+    """Both PEs in one basis pair: F_ALL [IN_PAD, 48] stacks the pos (32-lane)
+    and dir (16-lane) frequency products; S_ALL [96, 96] scatters
+    [sin(P) | cos(P)] into [pe_pos(64) | pe_dir(32)] columns in ONE matmul.
+    Bitwise-equal to the two _pe_tile calls (each output column still has a
+    single 1.0 term), but 6 small matmuls per tile become 2 — measured
+    ~0.5-1 ms per fwd pass on 262k points (v5e).
+    """
+    FP, SP_SIN, SP_COS = _pe_basis(0, 10, PE_POS)
+    FD, SD_SIN, SD_COS = _pe_basis(3, 4, PE_DIR)
+    nsp, nsd = FP.shape[1], FD.shape[1]
+    tot = nsp + nsd
+    F_all = np.concatenate([FP, FD], axis=1)                  # [8, 48]
+    S_all = np.zeros((2 * tot, PE_POS + PE_DIR), np.float32)  # [96, 96]
+    S_all[0:nsp, :PE_POS] = SP_SIN
+    S_all[tot:tot + nsp, :PE_POS] = SP_COS
+    S_all[nsp:tot, PE_POS:] = SD_SIN
+    S_all[tot + nsp:2 * tot, PE_POS:] = SD_COS
+    return F_all, S_all
 
 
 def pack_nerf_params(params):
@@ -119,6 +142,14 @@ def _pe_tile(x, F, Ssin, Scos):
     return _mm(jnp.sin(P), Ssin, False) + _mm(jnp.cos(P), Scos, False)
 
 
+def _pe_tile_combined(x, F_all, S_all):
+    """Both PEs from one freq matmul + one scatter matmul (still exact)."""
+    P = _mm(x, F_all, False)
+    sc = jnp.concatenate([jnp.sin(P), jnp.cos(P)], axis=1)
+    pe = _mm(sc, S_all, False)
+    return pe[:, :PE_POS], pe[:, PE_POS:]
+
+
 def _forward_tile(x, w, bf16, store_bf16=False):
     """Shared forward math on one [T, IN_PAD] tile.  Returns activation dict
     (used both by the fwd kernel and the bwd recompute).
@@ -128,8 +159,8 @@ def _forward_tile(x, w, bf16, store_bf16=False):
     footprint, enabling larger backward tiles.
     """
     st = (lambda a: a.astype(jnp.bfloat16)) if store_bf16 else (lambda a: a)
-    pe_p = st(_pe_tile(x, w["Fp"], w["Sp_sin"], w["Sp_cos"]))
-    pe_d = st(_pe_tile(x, w["Fd"], w["Sd_sin"], w["Sd_cos"]))
+    pe_p, pe_d = _pe_tile_combined(x, w["F_all"], w["S_all"])
+    pe_p, pe_d = st(pe_p), st(pe_d)
     h0 = st(jax.nn.relu(_mm(pe_p, w["W0"], bf16) + w["b0"]))
     h1 = st(jax.nn.relu(_mm(h0, w["W1"], bf16) + w["b1"]))
     h2 = st(jax.nn.relu(_mm(h1, w["W2"], bf16) + w["b2"]))
@@ -148,7 +179,7 @@ def _forward_tile(x, w, bf16, store_bf16=False):
                 h5=h5, h6=h6, h7=h7, sig=sig, hd=hd, h9=h9, rgb=rgb)
 
 
-PE_NAMES = ["Fp", "Sp_sin", "Sp_cos", "Fd", "Sd_sin", "Sd_cos"]
+PE_NAMES = ["F_all", "S_all"]
 _N_W = len(PE_NAMES) + len(PACK_KEYS)
 
 
@@ -207,14 +238,20 @@ def _fused_forward(x_pad, weights, bf16=True, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(bf16, *refs):
+def _bwd_kernel(bf16, need_dx, *refs):
     x_ref = refs[0]
     names = PE_NAMES + PACK_KEYS
     w = {k: refs[1 + i][:] for i, k in enumerate(names)}
     dy_ref = refs[1 + _N_W]
-    # outputs: dx, then d<param> for each PACK_KEY
-    dx_ref = refs[2 + _N_W]
-    dword = {k: refs[3 + _N_W + i] for i, k in enumerate(PACK_KEYS)}
+    # outputs: dx (only when need_dx — in the train step the points are
+    # functions of non-differentiable ray data and stop-gradient'd z values,
+    # so the whole PE-backward block is dead work), then d<param> per
+    # PACK_KEY.
+    off = 2 + _N_W
+    if need_dx:
+        dx_ref = refs[off]
+        off += 1
+    dword = {k: refs[off + i] for i, k in enumerate(PACK_KEYS)}
 
     i = pl.program_id(0)
 
@@ -260,7 +297,7 @@ def _bwd_kernel(bf16, *refs):
     dword["W9b"][:] += mmT_acc(a["pe_d"], dh9)
     dword["b9"][:] += jnp.sum(dh9, axis=0, keepdims=True)
     dhd = mmB(dh9, w["W9a"])
-    dpe_d = mmB(dh9, w["W9b"])
+    dpe_d = mmB(dh9, w["W9b"]) if need_dx else None
 
     dword["Ws"][:] += mmT_acc(a["h7"], dsig)
     dword["W8"][:] += mmT_acc(a["h7"], dhd)
@@ -279,7 +316,7 @@ def _bwd_kernel(bf16, *refs):
     dword["W5a"][:] += mmT_acc(a["pe_p"], dh5)
     dword["W5b"][:] += mmT_acc(a["h4"], dh5)
     dword["b5"][:] += jnp.sum(dh5, axis=0, keepdims=True)
-    dpe_p = mmB(dh5, w["W5a"])
+    dpe_p = mmB(dh5, w["W5a"]) if need_dx else None
     dh4 = mmB(dh5, w["W5b"]) * relu_mask(a["h4"])
 
     dword["W4"][:] += mmT_acc(a["h3"], dh4)
@@ -300,25 +337,25 @@ def _bwd_kernel(bf16, *refs):
 
     dword["W0"][:] += mmT_acc(a["pe_p"], dh0)
     dword["b0"][:] += jnp.sum(dh0, axis=0, keepdims=True)
+
+    if not need_dx:
+        return
     dpe_p += mmB(dh0, w["W0"])
 
-    # back through the PE bases: pe = sin(P)@Ssin + cos(P)@Scos, P = x@F
-    def pe_bwd(dpe, F, Ssin, Scos):
-        P = _mm(x, F, False)
-        dsp = jax.lax.dot_general(dpe, Ssin, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dcp = jax.lax.dot_general(dpe, Scos, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dP = dsp * jnp.cos(P) - dcp * jnp.sin(P)
-        return jax.lax.dot_general(dP, F, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    dx_ref[:] = (pe_bwd(dpe_p, w["Fp"], w["Sp_sin"], w["Sp_cos"])
-                 + pe_bwd(dpe_d, w["Fd"], w["Sd_sin"], w["Sd_cos"]))
+    # back through the combined PE: pe = [sin(P)|cos(P)] @ S_all, P = x@F_all
+    P = _mm(x, w["F_all"], False)
+    dpe = jnp.concatenate([dpe_p, dpe_d], axis=1)          # [T, 96]
+    dsc = jax.lax.dot_general(dpe, w["S_all"], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    half = P.shape[1]
+    dP = dsc[:, :half] * jnp.cos(P) - dsc[:, half:] * jnp.sin(P)
+    dx_ref[:] = jax.lax.dot_general(dP, w["F_all"], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret"))
-def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
+@partial(jax.jit, static_argnames=("bf16", "interpret", "need_dx"))
+def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False,
+                    need_dx=True):
     n = x_pad.shape[0]
     tile = min(BWD_TILE, max(n, 8))
     x_pad = _pad_rows(x_pad, tile)
@@ -334,21 +371,24 @@ def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
         + [pl.BlockSpec((tile, OUT_PAD), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
     )
+    dx_specs = ([pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if need_dx else [])
     out_specs = (
-        [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM)]
+        dx_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(PACK_KEYS)
     )
-    out_shape = ([jax.ShapeDtypeStruct((n_pad, IN_PAD), jnp.float32)]
-                 + w_shapes)
+    out_shape = (([jax.ShapeDtypeStruct((n_pad, IN_PAD), jnp.float32)]
+                  if need_dx else []) + w_shapes)
     outs = pl.pallas_call(
-        partial(_bwd_kernel, bf16),
+        partial(_bwd_kernel, bf16, need_dx),
         grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
                               out_specs=out_specs),
         out_shape=out_shape,
         interpret=interpret,
     )(x_pad, *weights, dy)
-    return outs[0][:n], outs[1:]
+    if need_dx:
+        return outs[0][:n], outs[1:]
+    return None, outs
 
 
 # ---------------------------------------------------------------------------
@@ -356,15 +396,13 @@ def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-_FP, _SP_SIN, _SP_COS = _pe_basis(0, 10, PE_POS)
-_FD, _SD_SIN, _SD_COS = _pe_basis(3, 4, PE_DIR)
+_F_ALL, _S_ALL = _pe_basis_combined()
 
 
 def _prep(params, x):
     """Pack params + pad points; returns (weights tuple, x_pad, n, shape)."""
     packed = pack_nerf_params(params)
-    weights = tuple(jnp.asarray(a) for a in
-                    (_FP, _SP_SIN, _SP_COS, _FD, _SD_SIN, _SD_COS)) + \
+    weights = tuple(jnp.asarray(a) for a in (_F_ALL, _S_ALL)) + \
         tuple(packed[k] for k in PACK_KEYS)
     shape = x.shape
     flat = x.reshape(-1, shape[-1])
@@ -406,29 +444,35 @@ def _unpack_grads(dw, params):
     }
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_nerf_apply(params, x, bf16=True, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_nerf_apply(params, x, bf16=True, interpret=False, need_dx=True):
     """Drop-in replacement for models/nerf.py NeRFModel.apply (PE variant).
 
-    x [..., 6] -> [..., 4].  Differentiable in params and x.
+    x [..., 6] -> [..., 4].  Differentiable in params, and in x when
+    need_dx=True.  With need_dx=False the backward kernel skips the whole
+    PE-backward block (2x sin + 2x cos + 6 matmuls per tile) and returns
+    ZERO input gradients — only valid when x carries no gradient (the NeRF
+    train step: points are built from ray data and stop-gradient'd z).
     """
     weights, x_pad, n, shape = _prep(params, x)
     out = _fused_forward(x_pad, weights, bf16, interpret)
     return out[:n, :4].reshape(*shape[:-1], 4)
 
 
-def _fwd_rule(params, x, bf16, interpret):
-    return fused_nerf_apply(params, x, bf16, interpret), (params, x)
+def _fwd_rule(params, x, bf16, interpret, need_dx):
+    return fused_nerf_apply(params, x, bf16, interpret, need_dx), (params, x)
 
 
-def _bwd_rule(bf16, interpret, res, dy):
+def _bwd_rule(bf16, interpret, need_dx, res, dy):
     params, x = res
     weights, x_pad, n, shape = _prep(params, x)
     dy_flat = dy.reshape(-1, 4)
     n_pad = x_pad.shape[0]
     dy_pad = jnp.zeros((n_pad, OUT_PAD), jnp.float32).at[:n, :4].set(dy_flat)
-    dx_pad, dw = _fused_backward(x_pad, weights, dy_pad, bf16, interpret)
-    dx = dx_pad[:n, :6].reshape(shape)
+    dx_pad, dw = _fused_backward(x_pad, weights, dy_pad, bf16, interpret,
+                                 need_dx)
+    dx = (dx_pad[:n, :6].reshape(shape) if need_dx
+          else jnp.zeros(shape, x.dtype))
     return _unpack_grads(dw, params), dx
 
 

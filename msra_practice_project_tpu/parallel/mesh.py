@@ -43,6 +43,12 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def chunk_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard dim 1 of a [K, B, ...] multi-step batch stack (dim 0 = scan
+    steps stays whole, the per-step batch splits across the mesh)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -88,13 +88,8 @@ def build_startup_buffer(images, poses, width, height, focal):
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(coarse_model, fine_model, tx, cfg):
-    """Returns a jitted step(state, batch [B,10], key) -> (state, metrics).
-
-    cfg['use_fused_mlp'] routes the MLP evaluation through the fused Pallas
-    kernel (ops/pallas/nerf_mlp.py): ~1.4x faster fwd+bwd via VMEM-resident
-    weights + bf16 MXU matmuls.  Only valid for the PE (non-siren) NeRF.
-    """
+def _make_step_impl(coarse_model, fine_model, tx, cfg):
+    """Unjitted step(state, batch [B,10], key) -> (state, metrics)."""
     use_fine = cfg["use_fine_model"]
     use_alpha = cfg["use_alpha"]
     near, far = cfg["render_near"], cfg["render_far"]
@@ -104,7 +99,10 @@ def make_train_step(coarse_model, fine_model, tx, cfg):
                  and jax.default_backend() == "tpu")
     if use_fused:
         from ..ops.pallas.nerf_mlp import fused_nerf_apply
-        apply_c = apply_f = lambda p, x: fused_nerf_apply(p, x, True, False)
+        # need_dx=False: train points are functions of ray data (non-diff)
+        # and stop-gradient'd z values, so input grads are dead work.
+        apply_c = apply_f = lambda p, x: fused_nerf_apply(p, x, True, False,
+                                                          False)
     else:
         apply_c, apply_f = coarse_model.apply, fine_model.apply
 
@@ -127,7 +125,6 @@ def make_train_step(coarse_model, fine_model, tx, cfg):
         return loss, {"loss": loss, "loss_coarse": loss_coarse,
                       "loss_fine": loss_fine, "psnr": psnr}
 
-    @jax.jit
     def step(state, batch, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"], batch, key)
@@ -140,6 +137,37 @@ def make_train_step(coarse_model, fine_model, tx, cfg):
         }, metrics
 
     return step
+
+
+def make_train_step(coarse_model, fine_model, tx, cfg):
+    """Returns a jitted step(state, batch [B,10], key) -> (state, metrics).
+
+    cfg['use_fused_mlp'] routes the MLP evaluation through the fused Pallas
+    kernel (ops/pallas/nerf_mlp.py): faster fwd+bwd via VMEM-resident
+    weights + bf16 MXU matmuls.  Only valid for the PE (non-siren) NeRF.
+    """
+    return jax.jit(_make_step_impl(coarse_model, fine_model, tx, cfg))
+
+
+def make_train_multistep(coarse_model, fine_model, tx, cfg):
+    """Returns a jitted multi(state, batches [K,B,10], keys [K,2]) that runs
+    K train steps in ONE dispatch via lax.scan.
+
+    The axon tunnel costs ~1.2 ms per dispatch (BASELINE.md); scanning K
+    steps amortises it to ~1.2/K ms.  Identical math to K make_train_step
+    calls — the data pipeline is already device-resident, so the host adds
+    nothing per step.  K is a runtime leading dim, one compile per K.
+    """
+    step = _make_step_impl(coarse_model, fine_model, tx, cfg)
+
+    @jax.jit
+    def multi(state, batches, keys):
+        def body(st, bk):
+            batch, key = bk
+            return step(st, batch, key)
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return multi
 
 
 @partial(jax.jit, static_argnames=("batch_size",))
@@ -235,35 +263,77 @@ def train(config) -> dict:
         state = mesh_lib.replicate(state, dp_mesh)
         buf = mesh_lib.replicate(buf, dp_mesh)  # whole buffer on each chip
         batch_shard = mesh_lib.batch_sharding(dp_mesh)
+        chunk_shard = mesh_lib.chunk_sharding(dp_mesh)
         log_print(f"[parallel] data-parallel over {len(devices)} devices")
 
     step_fn = make_train_step(coarse_model, fine_model, tx, config)
+    # Multi-step dispatch: scan `steps_per_call` steps in one XLA program to
+    # amortise the ~1.2 ms/dispatch tunnel cost.  Identical math; chunks
+    # never cross cadence/epoch/startup boundaries, so prints, saves,
+    # renders and reshuffles land on the exact same steps.
+    steps_per_call = int(config.get("steps_per_call", 1))
+    multi_fn = (make_train_multistep(coarse_model, fine_model, tx, config)
+                if steps_per_call > 1 else None)
     logger = MetricLogger(["loss", "psnr"])
+
+    def dist_to(step, every):
+        return every - (step % every)
 
     batch_idx = 0
     iterations = config["iterations"]
-    for global_step in range(global_step + 1, iterations + 1):
-        profiler.tick(global_step)
-        k = jax.random.fold_in(k_steps, global_step)
-        if global_step <= config["start_up_itrs"]:
-            batch = sample_startup_batch(startup_buf, k,
-                                         batch_size=batch_size)
-        else:
-            lo = batch_idx * batch_size
-            if lo + batch_size > n_rays:
-                # Epoch boundary: real reshuffle (fixes the reference's
-                # dead-variable bug at nerf/train_nerf.py:143-144).
-                perm = jax.random.permutation(jax.random.fold_in(k, 1),
-                                              n_rays)
-                buf = buf[perm]
-                batch_idx, lo = 0, 0
-            batch = jax.lax.dynamic_slice_in_dim(buf, lo, batch_size)
-            batch_idx += 1
-        if use_dp:
-            batch = jax.device_put(batch, batch_shard)
+    while global_step < iterations:
+        profiler.tick(global_step + 1)
+        k = jax.random.fold_in(k_steps, global_step + 1)
 
-        state, m = step_fn(state, batch, jax.random.fold_in(k, 2))
-        logger.append(loss=m["loss"], psnr=m["psnr"])
+        # Epoch boundary: real reshuffle (fixes the reference's
+        # dead-variable bug at nerf/train_nerf.py:143-144).
+        if (global_step >= config["start_up_itrs"]
+                and (batch_idx + 1) * batch_size > n_rays):
+            perm = jax.random.permutation(jax.random.fold_in(k, 1), n_rays)
+            buf = buf[perm]
+            batch_idx = 0
+
+        n_chunk = 1
+        if multi_fn is not None and global_step >= config["start_up_itrs"]:
+            n_chunk = min(
+                steps_per_call,
+                iterations - global_step,
+                (n_rays - batch_idx * batch_size) // batch_size,
+                dist_to(global_step, config["i_print"]),
+                dist_to(global_step, config["i_save"]),
+                dist_to(global_step, config["i_image"]),
+            )
+
+        if n_chunk > 1:
+            lo = batch_idx * batch_size
+            batches = jax.lax.dynamic_slice_in_dim(
+                buf, lo, n_chunk * batch_size).reshape(
+                    n_chunk, batch_size, buf.shape[-1])
+            keys = jnp.stack([
+                jax.random.fold_in(jax.random.fold_in(k_steps,
+                                                      global_step + 1 + i), 2)
+                for i in range(n_chunk)])
+            if use_dp:
+                batches = jax.device_put(batches, chunk_shard)
+            batch_idx += n_chunk
+            global_step += n_chunk
+            state, ms = multi_fn(state, batches, keys)
+            for i in range(n_chunk):
+                logger.append(loss=ms["loss"][i], psnr=ms["psnr"][i])
+            m = {key_: v[-1] for key_, v in ms.items()}
+        else:
+            if global_step + 1 <= config["start_up_itrs"]:
+                batch = sample_startup_batch(startup_buf, k,
+                                             batch_size=batch_size)
+            else:
+                batch = jax.lax.dynamic_slice_in_dim(
+                    buf, batch_idx * batch_size, batch_size)
+                batch_idx += 1
+            if use_dp:
+                batch = jax.device_put(batch, batch_shard)
+            global_step += 1
+            state, m = step_fn(state, batch, jax.random.fold_in(k, 2))
+            logger.append(loss=m["loss"], psnr=m["psnr"])
 
         if global_step % config["i_print"] == 0:
             log_print(f"[Train] Iter: {global_step} "

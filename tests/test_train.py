@@ -108,6 +108,26 @@ def test_train_nerf_no_fine_and_alpha(tmp_path):
     assert np.isfinite(out["log"]["loss"]).all()
 
 
+def test_train_nerf_multistep_matches_single(tmp_path):
+    """steps_per_call>1 (lax.scan chunks) must reproduce the per-step loop:
+    same losses, same ckpt step, same RNG stream."""
+    from msra_practice_project_tpu.train import train_nerf
+
+    common = dict(data_path="/nonexistent", iterations=14, batch_size=32,
+                  start_up_itrs=3, render_coarse_sample_num=4,
+                  render_fine_sample_num=4, i_print=7, i_save=14,
+                  i_image=100, data_size=16)
+    cfg1 = _cfg(tmp_path, "nerf_s1", NERF_TRAIN_DEFAULTS, **common)
+    out1 = train_nerf.train(cfg1)
+    cfg5 = _cfg(tmp_path, "nerf_s5", NERF_TRAIN_DEFAULTS,
+                steps_per_call=5, **common)
+    out5 = train_nerf.train(cfg5)
+    np.testing.assert_allclose(out1["log"]["loss"], out5["log"]["loss"],
+                               rtol=2e-4)
+    assert int(out5["state"]["step"]) == 14
+    assert (tmp_path / "nerf_s5" / "000014.ckpt").exists()
+
+
 def test_train_nerf_sharded_batch(tmp_path):
     """batch divisible by 8 virtual devices -> DP path executes."""
     import jax

@@ -1,0 +1,182 @@
+"""Roofline breakdown of the NeRF train step on the real chip.
+
+Times each stage of the hot loop in isolation (warm, end-synced with
+np.asarray — block_until_ready is unreliable through the axon tunnel) and
+attributes the step's wall clock:
+
+  * fused MLP fwd / fwd+bwd on the step's 262k points
+  * sample_pdf + sort (the hierarchical resampling path)
+  * compositing (raw_to_outputs fwd+bwd)
+  * adam update alone
+  * full step at several batch sizes
+  * K steps fused into one dispatch via lax.scan (dispatch-overhead probe)
+
+Usage: python tools/roofline_nerf.py [batch]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, ".")
+
+from msra_practice_project_tpu.models.nerf import nerf_model  # noqa: E402
+from msra_practice_project_tpu.ops.composite import raw_to_outputs  # noqa: E402
+from msra_practice_project_tpu.ops.sampling import (  # noqa: E402
+    sample_pdf, stratified_samples)
+from msra_practice_project_tpu.train import common  # noqa: E402
+from msra_practice_project_tpu.train.train_nerf import make_train_step  # noqa: E402
+
+NC, NF = 64, 128
+
+
+def timeit(fn, args, iters=20, warmup=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def make_batch(key, batch):
+    ro = jax.random.normal(key, (batch, 3)) * 0.1 + jnp.array([0, 0, 4.0])
+    rd = -ro / jnp.linalg.norm(ro, axis=-1, keepdims=True) + \
+        0.1 * jax.random.normal(jax.random.fold_in(key, 1), (batch, 3))
+    rgba = jax.random.uniform(jax.random.fold_in(key, 2), (batch, 4))
+    return jnp.concatenate([ro, rd, rgba], axis=1)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    print(f"backend: {jax.default_backend()}  batch: {batch}")
+    key = jax.random.PRNGKey(0)
+    model = nerf_model(False)
+    params = {"coarse": model.init(key),
+              "fine": model.init(jax.random.fold_in(key, 1))}
+    tx = common.adam(common.exponential_lr(5e-4, 500))
+    state = common.init_state(params, tx)
+    cfg = {"use_fine_model": True, "use_alpha": False,
+           "render_near": 2.0, "render_far": 6.0,
+           "render_coarse_sample_num": NC, "render_fine_sample_num": NF}
+
+    b = make_batch(jax.random.fold_in(key, 2), batch)
+    n_pts = batch * (NC + NC + NF)
+
+    # --- full step ---
+    step = make_train_step(model, model, tx, cfg)
+    t_step = timeit(step, (state, b, key))
+    rays_s = batch / t_step * 1e3
+    print(f"full step             {t_step:7.2f} ms   ({rays_s:,.0f} rays/s)")
+
+    # --- fused MLP fwd and fwd+bwd on the same total points ---
+    # All probes reduce to a scalar on device: returning the [262k, 4] output
+    # would add a 4 MB host transfer to the sync; and grad-of-sum WITHOUT the
+    # value lets XLA dead-code-eliminate the fwd pallas call (the custom-vjp
+    # residuals are (params, x), not the output).
+    from msra_practice_project_tpu.ops.pallas.nerf_mlp import fused_nerf_apply
+    x = jax.random.uniform(jax.random.fold_in(key, 3), (n_pts, 6))
+
+    fwd = jax.jit(lambda p, x: fused_nerf_apply(p, x, True, False).sum())
+    t_fwd = timeit(fwd, (params["coarse"], x))
+    print(f"fused MLP fwd (262k)  {t_fwd:7.2f} ms")
+
+    g = jax.jit(jax.grad(lambda p, x: fused_nerf_apply(p, x).sum()))
+    t_b = timeit(g, (params["coarse"], x))
+    print(f"fused MLP bwd only    {t_b:7.2f} ms  (fwd DCE'd)")
+
+    vg = jax.jit(jax.value_and_grad(
+        lambda p, x: fused_nerf_apply(p, x).sum()))
+    t_fb = timeit(vg, (params["coarse"], x))
+    print(f"fused MLP fwd+bwd     {t_fb:7.2f} ms")
+
+    # XLA (non-fused) comparison
+    fwd_x = jax.jit(lambda p, x: model.apply(p, x).sum())
+    t_fwd_x = timeit(fwd_x, (params["coarse"], x))
+    g_x = jax.jit(jax.value_and_grad(
+        lambda p, x: model.apply(p, x).sum()))
+    t_fb_x = timeit(g_x, (params["coarse"], x))
+    print(f"XLA  MLP fwd / f+b    {t_fwd_x:7.2f} / {t_fb_x:.2f} ms")
+
+    # --- sampling path: stratified + pdf + sort ---
+    @jax.jit
+    def samp(key, ro, rd):
+        z, mids = stratified_samples(key, 2.0, 6.0, NC, (ro.shape[0],))
+        w = jax.random.uniform(jax.random.fold_in(key, 7),
+                               (ro.shape[0], NC - 2))
+        zs = sample_pdf(mids, w, NF)
+        return jnp.sort(jnp.concatenate([z, zs], -1), -1)
+
+    t_samp = timeit(samp, (key, b[:, :3], b[:, 3:6]))
+    print(f"sample+pdf+sort       {t_samp:7.2f} ms")
+
+    # --- compositing fwd+bwd (both passes) ---
+    raw_c = jax.random.uniform(jax.random.fold_in(key, 4), (batch, NC, 4))
+    raw_f = jax.random.uniform(jax.random.fold_in(key, 5),
+                               (batch, NC + NF, 4))
+    z_c = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 6),
+                                      (batch, NC)), -1) * 4 + 2
+    z_f = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 8),
+                                      (batch, NC + NF)), -1) * 4 + 2
+
+    @jax.jit
+    def comp_grad(raw_c, raw_f):
+        def f(rc, rf):
+            rgb_c, *_ = raw_to_outputs(rc, z_c, b[:, 3:6], True)
+            rgb_f, *_ = raw_to_outputs(rf, z_f, b[:, 3:6], True)
+            return (rgb_c**2).mean() + (rgb_f**2).mean()
+        return jax.grad(f, argnums=(0, 1))(raw_c, raw_f)
+
+    t_comp = timeit(comp_grad, (raw_c, raw_f))
+    print(f"composite f+b (c+f)   {t_comp:7.2f} ms")
+
+    # --- adam update alone ---
+    grads = jax.tree.map(jnp.ones_like, state["params"])
+
+    @jax.jit
+    def upd(state, grads):
+        u, o = tx.update(grads, state["opt_state"], state["params"])
+        return optax.apply_updates(state["params"], u)
+
+    t_adam = timeit(upd, (state, grads))
+    print(f"adam update           {t_adam:7.2f} ms")
+
+    # --- K steps in one dispatch (scan) — dispatch overhead probe ---
+    K = 10
+
+    @jax.jit
+    def scan_steps(state, b, key):
+        def body(st, k):
+            st, m = step(st, b, k)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, jax.random.split(key, K))
+
+    t_scan = timeit(scan_steps, (state, b, key), iters=5)
+    print(f"scan x{K} steps        {t_scan:7.2f} ms  "
+          f"({t_scan / K:.2f} ms/step, {batch * K / t_scan * 1e3:,.0f} rays/s)")
+
+    # roofline numbers
+    flops_pt_fwd = 2 * (64 * 256 + 7 * 256 * 256 + 64 * 256 + 256 * 256
+                        + 256 * 128 + 32 * 128 + 256 * 8 + 128 * 8)
+    # step MLP work: every point does fwd + (recompute + 2x matmuls) bwd
+    # ~= 4x fwd FLOPs
+    tot = 4 * flops_pt_fwd * n_pts
+    print(f"\nMLP step FLOPs ~{tot / 1e12:.2f} TF; at measured "
+          f"{t_fb:.1f} ms MLP fwd+bwd -> "
+          f"{tot / (t_fb * 1e-3) / 1e12:.0f} TFLOP/s effective "
+          f"(v5e bf16 peak ~197)")
+    acc = t_fb + t_samp + t_comp + t_adam
+    print(f"sum of parts {acc:.2f} ms vs step {t_step:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -111,6 +112,9 @@ def main(iterations=3000, size=64):
         "i_print": max(iterations // 10, 1), "i_save": iterations,
         "i_image": iterations,
     }, NERF_TRAIN_DEFAULTS)
+    # fresh run every time — a stale ckpt at `iterations` would resume into
+    # a 0-step no-op and silently validate the previous build
+    shutil.rmtree(os.path.join(base, "exp"), ignore_errors=True)
     print(f"[validate] training {iterations} iters...")
     out = train_nerf.train(cfg)
     psnr_train_curve = out["log"]["psnr"]
