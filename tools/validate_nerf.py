@@ -41,6 +41,47 @@ SPHERES = [  # (center, radius, rgb)
 ]
 
 
+def analytic_field_hard(x):
+    """f([..., 6]) -> [..., 4]: the HARD scene (VERDICT r1 next-round #7).
+
+    Stresses exactly what the easy 3-sphere scene cannot:
+      * view-dependent emission — colour depends on the ray direction via a
+        radial-facing term and a view tint (exercises the dir branch/PE);
+      * high-frequency structure — a trig checker at ~12 rad/unit over a
+        thin shell (exercises the high PE frequencies);
+      * a thin shell + occluded core (exercises hierarchical importance
+        sampling: most of [near, far] is empty).
+    """
+    pos, dirs = x[..., :3], x[..., 3:6]
+    d = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
+    r = jnp.linalg.norm(pos, axis=-1)
+
+    s_shell = 55.0 * jax.nn.sigmoid((0.07 - jnp.abs(r - 0.9)) * 120.0)
+    s_core = 65.0 * jax.nn.sigmoid((0.38 - r) * 45.0)
+    sigma = jnp.maximum(s_shell, s_core)
+
+    # high-frequency checker on the shell
+    ch = (jnp.sin(12.0 * pos[..., 0]) * jnp.sin(12.0 * pos[..., 1])
+          * jnp.sin(12.0 * pos[..., 2]))
+    checker = jax.nn.sigmoid(8.0 * ch)  # ~binary 0/1 pattern
+    col_a = jnp.asarray([0.95, 0.25, 0.15])
+    col_b = jnp.asarray([0.95, 0.85, 0.2])
+    base_shell = checker[..., None] * col_a + (1 - checker[..., None]) * col_b
+    base_core = jnp.asarray([0.2, 0.4, 0.95]) * jnp.ones_like(base_shell)
+    w_shell = s_shell / (s_shell + s_core + 1e-6)
+    base = w_shell[..., None] * base_shell + (1 - w_shell[..., None]) * base_core
+
+    # view dependence: facing term against the radial normal + a view tint
+    n = pos / (r[..., None] + 1e-9)
+    cosv = jnp.clip(-jnp.sum(d * n, axis=-1), 0.0, 1.0)
+    tint = jnp.stack([0.5 + 0.5 * d[..., 0], 0.5 + 0.5 * d[..., 1],
+                      0.5 + 0.5 * d[..., 2]], axis=-1)
+    kv = 0.35 * cosv[..., None]
+    rgb = jnp.clip((0.55 + 0.45 * cosv[..., None]) * base * (1 - kv)
+                   + kv * tint, 0.0, 1.0)
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
 def analytic_field(x):
     """f([..., 6]) -> [..., 4]: soft coloured spheres (view-independent)."""
     pos = x[..., :3]
@@ -58,11 +99,14 @@ def analytic_field(x):
     return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
 
 
+SCENES = {"easy": analytic_field, "hard": analytic_field_hard}
+
+
 def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
-                 seed=0):
+                 seed=0, scene="easy"):
     rng = np.random.default_rng(seed)
     focal = 0.5 * size / np.tan(0.5 * 0.6911112)
-    f = jax.tree_util.Partial(analytic_field)
+    f = jax.tree_util.Partial(SCENES[scene])
     key = jax.random.PRNGKey(seed)
     os.makedirs(out_dir, exist_ok=True)
     for split, n in [("train", n_train), ("val", n_val), ("test", n_test)]:
@@ -93,34 +137,35 @@ def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
     return focal
 
 
-def main(iterations=3000, size=64):
+def main(iterations=3000, size=64, scene="easy"):
     from msra_practice_project_tpu.eval.nerf_common import (
         load_experiment, render_view,
     )
     from msra_practice_project_tpu.train import train_nerf
 
     base = "/tmp/nerf_validate"
-    data_dir = os.path.join(base, "data")
+    data_dir = os.path.join(base, f"data_{scene}" if scene != "easy"
+                            else "data")
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
-        print("[validate] rendering analytic dataset...")
-        make_dataset(data_dir, size)
+        print(f"[validate] rendering analytic dataset ({scene})...")
+        make_dataset(data_dir, size, scene=scene)
 
     cfg = resolve({
-        "output_path": base, "experiment_name": "exp",
+        "output_path": base, "experiment_name": f"exp_{scene}",
         "data_path": data_dir, "data_resize": 1.0, "data_skip": 1,
         "iterations": iterations, "batch_size": 1024, "start_up_itrs": 200,
         "i_print": max(iterations // 10, 1), "i_save": iterations,
-        "i_image": iterations,
+        "i_image": iterations, "steps_per_call": 10,
     }, NERF_TRAIN_DEFAULTS)
     # fresh run every time — a stale ckpt at `iterations` would resume into
     # a 0-step no-op and silently validate the previous build
-    shutil.rmtree(os.path.join(base, "exp"), ignore_errors=True)
+    log_path = os.path.join(base, f"exp_{scene}")
+    shutil.rmtree(log_path, ignore_errors=True)
     print(f"[validate] training {iterations} iters...")
     out = train_nerf.train(cfg)
     psnr_train_curve = out["log"]["psnr"]
 
     # Held-out evaluation against the analytic ground truth.
-    log_path = os.path.join(base, "exp")
     config, models, state, _ = load_experiment(log_path)
     from msra_practice_project_tpu.data.blender import (
         load_blender_data, premultiply_white,
@@ -155,6 +200,14 @@ def main(iterations=3000, size=64):
 
 
 if __name__ == "__main__":
-    its = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-    size = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    main(its, size)
+    args = [a for a in sys.argv[1:] if not a.startswith("--scene")]
+    scene = "easy"
+    for a in sys.argv[1:]:
+        if a.startswith("--scene"):
+            scene = a.split("=", 1)[1] if "=" in a else "hard"
+        elif a in SCENES:
+            scene = a
+            args.remove(a)
+    its = int(args[0]) if len(args) > 0 else 3000
+    size = int(args[1]) if len(args) > 1 else 64
+    main(its, size, scene)
