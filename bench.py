@@ -120,35 +120,39 @@ def bench_pigan_gen():
     return 64 * 10 / dt
 
 
-def bench_pigan_train():
+def bench_pigan_train(batch=64, resolution=32, fade_alpha=-1.0, n=5):
+    """Full adversarial iteration (D step + G step).  Defaults = the
+    reference's stage 0 (batch 64 @32^2); stage 1 = batch 16 @64^2 with
+    fade-in active (pi_GAN/configs/test.json, train.py:30-33,96-98)."""
     import jax
 
     from msra_practice_project_tpu.models import pigan
     from msra_practice_project_tpu.train import common
     from msra_practice_project_tpu.train.train_pigan import make_gan_steps
 
-    cfg = pigan.GeneratorConfig(z_dim=1024, resolution=32, coarse_samples=8,
-                                fine_samples=16)
+    cfg = pigan.GeneratorConfig(z_dim=1024, resolution=resolution,
+                                coarse_samples=8, fine_samples=16)
     g, d = pigan.Generator(cfg), pigan.Discriminator()
     g_tx = common.adam(common.interp_lr(5e-5, 1e-5, 500), betas=(0.0, 0.9))
     d_tx = common.adam(common.interp_lr(4e-4, 1e-4, 500), betas=(0.0, 0.9))
     g_state = common.init_state(g.init(jax.random.PRNGKey(0)), g_tx)
     d_state = common.init_state(d.init(jax.random.PRNGKey(1)), d_tx)
-    d_step, g_step = make_gan_steps(g, d, g_tx, d_tx, 32)
+    d_step, g_step = make_gan_steps(g, d, g_tx, d_tx, resolution)
     key = jax.random.PRNGKey(2)
-    real = jax.random.uniform(key, (64, 3, 32, 32))
-    z = jax.random.normal(key, (64, 1024))
+    real = jax.random.uniform(key, (batch, 3, resolution, resolution))
+    z = jax.random.normal(key, (batch, 1024))
     for _ in range(2):
-        d_state, m_d = d_step(d_state, g_state["params"], real, z, key, -1.0)
-        g_state, m_g = g_step(g_state, d_state["params"], z, key, -1.0)
+        d_state, m_d = d_step(d_state, g_state["params"], real, z, key,
+                              fade_alpha)
+        g_state, m_g = g_step(g_state, d_state["params"], z, key, fade_alpha)
     np.asarray(m_g["g_loss"])
     t0 = time.perf_counter()
-    n = 5
     for i in range(n):
-        d_state, m_d = d_step(d_state, g_state["params"], real, z, key, -1.0)
-        g_state, m_g = g_step(g_state, d_state["params"], z, key, -1.0)
+        d_state, m_d = d_step(d_state, g_state["params"], real, z, key,
+                              fade_alpha)
+        g_state, m_g = g_step(g_state, d_state["params"], z, key, fade_alpha)
     np.asarray(m_g["g_loss"])
-    return 64 * n / (time.perf_counter() - t0)
+    return batch * n / (time.perf_counter() - t0)
 
 
 def main():
@@ -166,7 +170,10 @@ def main():
               f"(batch 64 @32^2, 8+16 samples)", file=sys.stderr)
         train_imgs = bench_pigan_train()
         print(f"[bench] pigan train (D+G steps): {train_imgs:.1f} imgs/s "
-              f"(batch 64 @32^2)", file=sys.stderr)
+              f"(batch 64 @32^2, stage 0)", file=sys.stderr)
+        s1_imgs = bench_pigan_train(batch=16, resolution=64, fade_alpha=0.5)
+        print(f"[bench] pigan train stage 1: {s1_imgs:.1f} imgs/s "
+              f"(batch 16 @64^2, fade-in active)", file=sys.stderr)
     except Exception as e:  # secondary metric must not break the headline
         print(f"[bench] pigan bench failed: {e}", file=sys.stderr)
 

@@ -198,6 +198,80 @@ def _fwd_kernel(bf16, *refs):
     out_ref[:] = out
 
 
+# ---------------------------------------------------------------------------
+# Saved-activations variant: the fwd kernel spills the per-point activations
+# (bf16) to HBM so the backward skips its forward recompute entirely.
+# Traffic: ~[N, 2560] bf16 each way (~1.3 GB/step at the bench geometry,
+# overlappable with compute at 819 GB/s) vs ~1 extra fwd pass of MXU time.
+# ---------------------------------------------------------------------------
+
+ACT_SLOTS = ([("pe_p", PE_POS), ("pe_d", PE_DIR)]
+             + [(f"h{i}", HID) for i in range(8)]
+             + [("hd", HID), ("h9", RGB_HID)])
+ACT_W = sum(w for _, w in ACT_SLOTS)          # 2528
+ACT_PAD = -(-ACT_W // 128) * 128              # 2560 (lane-aligned)
+_ACT_OFFS = {}
+_o = 0
+for _name, _w in ACT_SLOTS:
+    _ACT_OFFS[_name] = (_o, _o + _w)
+    _o += _w
+
+
+def _pack_acts(acts, bf16):
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    parts = [acts[name].astype(dt) for name, _ in ACT_SLOTS]
+    packed = jnp.concatenate(parts, axis=1)
+    return jnp.pad(packed, ((0, 0), (0, ACT_PAD - ACT_W)))
+
+
+def _unpack_acts(flat):
+    return {name: flat[:, o0:o1] for name, (o0, o1) in _ACT_OFFS.items()}
+
+
+def _fwd_save_kernel(bf16, *refs):
+    x_ref = refs[0]
+    names = PE_NAMES + PACK_KEYS
+    w = {k: refs[1 + i][:] for i, k in enumerate(names)}
+    out_ref = refs[1 + _N_W]
+    act_ref = refs[2 + _N_W]
+    # store_bf16=bf16: the saved values are exactly what the recompute-based
+    # backward would have rebuilt, so gradients are unchanged.
+    acts = _forward_tile(x_ref[:], w, bf16, store_bf16=bf16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, acts["rgb"].shape, 1)
+    out = jnp.where(lane < 3, acts["rgb"].astype(jnp.float32), 0.0)
+    out = jnp.where(lane == 3,
+                    acts["sig"][:, 0].astype(jnp.float32)[:, None], out)
+    out_ref[:] = out
+    act_ref[:] = _pack_acts(acts, bf16)
+
+
+def _bwd_saved_kernel(bf16, need_dx, *refs):
+    x_ref = refs[0]
+    names = PE_NAMES + PACK_KEYS
+    w = {k: refs[1 + i][:] for i, k in enumerate(names)}
+    dy_ref = refs[1 + _N_W]
+    act_ref = refs[2 + _N_W]
+    off = 3 + _N_W
+    if need_dx:
+        dx_ref = refs[off]
+        off += 1
+    dword = {k: refs[off + i] for i, k in enumerate(PACK_KEYS)}
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for k in PACK_KEYS:
+            dword[k][:] = jnp.zeros_like(dword[k])
+
+    a = _unpack_acts(act_ref[:])
+    # heads are cheap to rebuild from saved h7/h9 (two small matmuls)
+    a["sig"] = jax.nn.relu(_mm(a["h7"], w["Ws"], bf16) + w["bs"])
+    a["rgb"] = jax.nn.sigmoid(_mm(a["h9"], w["Wr"], bf16) + w["br"])
+    _grad_body(bf16, need_dx, x_ref[:], a, w, dy_ref[:], dword,
+               dx_ref if need_dx else None)
+
+
 def _grid_specs(n_tiles, tile):
     names_in = [
         pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
@@ -233,6 +307,76 @@ def _fused_forward(x_pad, weights, bf16=True, interpret=False):
     return out[:n]
 
 
+@partial(jax.jit, static_argnames=("bf16", "interpret"))
+def _fused_forward_save(x_pad, weights, bf16=True, interpret=False):
+    """Forward that also spills packed activations for the backward."""
+    n = x_pad.shape[0]
+    tile = min(FWD_TILE, max(n, 8))
+    x_pad = _pad_rows(x_pad, tile)
+    n_pad = x_pad.shape[0]
+    n_tiles = n_pad // tile
+    gs = _grid_specs(n_tiles, tile)
+    act_dt = jnp.bfloat16 if bf16 else jnp.float32
+    out, acts = pl.pallas_call(
+        partial(_fwd_save_kernel, bf16),
+        grid_spec=pl.GridSpec(
+            grid=(n_tiles,), in_specs=gs.in_specs,
+            out_specs=[
+                gs.out_specs,
+                pl.BlockSpec((tile, ACT_PAD), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, OUT_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, ACT_PAD), act_dt),
+        ],
+        interpret=interpret,
+    )(x_pad, *weights)
+    return out[:n], acts
+
+
+@partial(jax.jit, static_argnames=("bf16", "interpret", "need_dx"))
+def _fused_backward_saved(x_pad, weights, dy, acts, bf16=True,
+                          interpret=False, need_dx=True):
+    """Backward from saved activations — no forward recompute."""
+    n = x_pad.shape[0]
+    tile = min(BWD_TILE, max(n, 8))
+    x_pad = _pad_rows(x_pad, tile)
+    dy = _pad_rows(dy, tile)
+    acts = _pad_rows(acts, tile)
+    n_pad = x_pad.shape[0]
+    n_tiles = n_pad // tile
+    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                for w in weights[len(PE_NAMES):]]
+    in_specs = (
+        [pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_W
+        + [pl.BlockSpec((tile, OUT_PAD), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((tile, ACT_PAD), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    dx_specs = ([pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if need_dx else [])
+    out_specs = (
+        dx_specs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(PACK_KEYS)
+    )
+    out_shape = (([jax.ShapeDtypeStruct((n_pad, IN_PAD), jnp.float32)]
+                  if need_dx else []) + w_shapes)
+    outs = pl.pallas_call(
+        partial(_bwd_saved_kernel, bf16, need_dx),
+        grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
+                              out_specs=out_specs),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x_pad, *weights, dy, acts)
+    if need_dx:
+        return outs[0][:n], outs[1:]
+    return None, outs
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel: recompute + accumulate dW across the sequential grid.
 # ---------------------------------------------------------------------------
@@ -262,7 +406,12 @@ def _bwd_kernel(bf16, need_dx, *refs):
 
     x = x_ref[:]
     a = _forward_tile(x, w, bf16, store_bf16=bf16)
-    dy = dy_ref[:]
+    _grad_body(bf16, need_dx, x, a, w, dy_ref[:], dword,
+               dx_ref if need_dx else None)
+
+
+def _grad_body(bf16, need_dx, x, a, w, dy, dword, dx_ref):
+    """Shared backward math: activations `a` -> accumulate dW/db (+ dx)."""
 
     def mmT_acc(act, delta):  # dW = act^T @ delta
         lhs = act.astype(jnp.bfloat16) if bf16 else act
@@ -444,8 +593,9 @@ def _unpack_grads(dw, params):
     }
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_nerf_apply(params, x, bf16=True, interpret=False, need_dx=True):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_nerf_apply(params, x, bf16=True, interpret=False, need_dx=True,
+                     save_acts=False):
     """Drop-in replacement for models/nerf.py NeRFModel.apply (PE variant).
 
     x [..., 6] -> [..., 4].  Differentiable in params, and in x when
@@ -453,24 +603,40 @@ def fused_nerf_apply(params, x, bf16=True, interpret=False, need_dx=True):
     PE-backward block (2x sin + 2x cos + 6 matmuls per tile) and returns
     ZERO input gradients — only valid when x carries no gradient (the NeRF
     train step: points are built from ray data and stop-gradient'd z).
+
+    save_acts=True: under differentiation, the forward spills packed bf16
+    activations to HBM and the backward consumes them instead of
+    recomputing the forward — trades ~1.3 GB/step of overlappable HBM
+    traffic for a full fwd pass of MXU time.  Gradients are identical (the
+    saved values are bit-equal to what the recompute would rebuild).
     """
     weights, x_pad, n, shape = _prep(params, x)
     out = _fused_forward(x_pad, weights, bf16, interpret)
     return out[:n, :4].reshape(*shape[:-1], 4)
 
 
-def _fwd_rule(params, x, bf16, interpret, need_dx):
-    return fused_nerf_apply(params, x, bf16, interpret, need_dx), (params, x)
+def _fwd_rule(params, x, bf16, interpret, need_dx, save_acts):
+    if not save_acts:
+        out = fused_nerf_apply(params, x, bf16, interpret, need_dx,
+                               save_acts)
+        return out, (params, x, None)
+    weights, x_pad, n, shape = _prep(params, x)
+    out, acts = _fused_forward_save(x_pad, weights, bf16, interpret)
+    return out[:n, :4].reshape(*shape[:-1], 4), (params, x, acts)
 
 
-def _bwd_rule(bf16, interpret, need_dx, res, dy):
-    params, x = res
+def _bwd_rule(bf16, interpret, need_dx, save_acts, res, dy):
+    params, x, acts = res
     weights, x_pad, n, shape = _prep(params, x)
     dy_flat = dy.reshape(-1, 4)
     n_pad = x_pad.shape[0]
     dy_pad = jnp.zeros((n_pad, OUT_PAD), jnp.float32).at[:n, :4].set(dy_flat)
-    dx_pad, dw = _fused_backward(x_pad, weights, dy_pad, bf16, interpret,
-                                 need_dx)
+    if save_acts:
+        dx_pad, dw = _fused_backward_saved(x_pad, weights, dy_pad, acts,
+                                           bf16, interpret, need_dx)
+    else:
+        dx_pad, dw = _fused_backward(x_pad, weights, dy_pad, bf16, interpret,
+                                     need_dx)
     dx = (dx_pad[:n, :6].reshape(shape) if need_dx
           else jnp.zeros(shape, x.dtype))
     return _unpack_grads(dw, params), dx

@@ -101,8 +101,10 @@ def _make_step_impl(coarse_model, fine_model, tx, cfg):
         from ..ops.pallas.nerf_mlp import fused_nerf_apply
         # need_dx=False: train points are functions of ray data (non-diff)
         # and stop-gradient'd z values, so input grads are dead work.
-        apply_c = apply_f = lambda p, x: fused_nerf_apply(p, x, True, False,
-                                                          False)
+        # save_acts=True: spill bf16 activations so the backward skips its
+        # forward recompute (identical grads, ~2.5 ms/step on v5e).
+        apply_c = apply_f = lambda p, x: fused_nerf_apply(
+            p, x, True, False, False, True)
     else:
         apply_c, apply_f = coarse_model.apply, fine_model.apply
 

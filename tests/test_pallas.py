@@ -59,6 +59,57 @@ def test_fused_input_grads_match(setup):
                                np.asarray(gxr) / scale, atol=1e-4)
 
 
+def test_fused_need_dx_false_param_grads_match(setup):
+    """need_dx=False must give identical param grads (dx path skipped)."""
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(5), (700, 6))
+    g1 = jax.grad(
+        lambda p: (fused_nerf_apply(p, x, False, True) ** 2).sum())(p)
+    g2 = jax.grad(
+        lambda p: (fused_nerf_apply(p, x, False, True, False) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_save_acts_matches_recompute(setup):
+    """save_acts=True (spilled activations, no bwd recompute) must match the
+    recompute path: same fwd output, same param grads, same input grads."""
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(6), (700, 6))
+
+    out_r = fused_nerf_apply(p, x, False, True)
+    out_s, vjp_s = jax.vjp(
+        lambda p, x: fused_nerf_apply(p, x, False, True, True, True), p, x)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_s))
+
+    dy = jax.random.normal(jax.random.PRNGKey(7), out_r.shape)
+    _, vjp_r = jax.vjp(
+        lambda p, x: fused_nerf_apply(p, x, False, True), p, x)
+    gr_p, gr_x = vjp_r(dy)
+    gs_p, gs_x = vjp_s(dy)
+    for a, b in zip(jax.tree_util.tree_leaves(gr_p),
+                    jax.tree_util.tree_leaves(gs_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr_x), np.asarray(gs_x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_save_acts_vs_reference_model(setup):
+    """save_acts path against the XLA model directly."""
+    m, p = setup
+    x = jax.random.normal(jax.random.PRNGKey(8), (512, 6))
+    gr = jax.grad(lambda p: (m.apply(p, x) ** 2).sum())(p)
+    gf = jax.grad(lambda p: (
+        fused_nerf_apply(p, x, False, True, True, True) ** 2).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gf)):
+        scale = float(jnp.abs(a).max()) + 1e-8
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-4)
+
+
 def test_pack_roundtrip_shapes(setup):
     _, p = setup
     packed = pack_nerf_params(p)

@@ -47,42 +47,65 @@ def sample(generator, g_params, key, n, res):
         resolution=res)), film
 
 
-def main(iterations=1200):
+def main(iterations=1200, stage1_iters=0, fade=200):
+    """Single-stage gate (stage1_iters=0) or the full two-stage progressive
+    schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
+    10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
+    `stage1_iters` at 64^2 with a `fade`-iteration fade-in.  Gates are
+    checked on the FINAL stage's resolution, i.e. after the switch."""
+    two_stage = stage1_iters > 0
     base = "/tmp/pigan_validate"
+    name = "exp2" if two_stage else "exp"
+    import shutil
+    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    if two_stage:
+        schedule = {
+            "iterations": [iterations, iterations + stage1_iters],
+            "fade_in_itrs": [0, fade],
+            "batch_size": [16, 16], "resolution": [32, 64],
+        }
+    else:
+        schedule = {
+            "iterations": [iterations], "fade_in_itrs": [0],
+            "batch_size": [16], "resolution": [32],
+        }
+    total = schedule["iterations"][-1]
+    res = schedule["resolution"][-1]
     cfg = resolve({
-        "output_path": base, "experiment_name": "exp",
+        "output_path": base, "experiment_name": name,
         "data_path": "/nonexistent", "z_dim": 256,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
-        "iterations": [iterations], "fade_in_itrs": [0],
-        "batch_size": [16], "resolution": [32],
-        "i_print": max(iterations // 5, 1), "i_save": iterations,
-        "i_image": iterations, "data_n": 128,
+        "i_print": max(total // 5, 1), "i_save": total,
+        "i_image": total, "data_n": 128, **schedule,
     }, PIGAN_TRAIN_DEFAULTS)
 
     # untrained reference point
     from msra_practice_project_tpu.models import pigan
     gen_cfg = pigan.GeneratorConfig(
-        z_dim=256, resolution=32, near=cfg.render_near, far=cfg.render_far,
+        z_dim=256, resolution=res, near=cfg.render_near, far=cfg.render_far,
         coarse_samples=8, fine_samples=16)
     g0 = pigan.Generator(gen_cfg)
     p0 = g0.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
-    samples0, _ = sample(g0, p0, key, 32, 32)
+    samples0, _ = sample(g0, p0, key, 32, res)
 
     out = train_pigan.train(cfg)
     generator = out["generator"]
     g_params = out["g_state"]["params"]
-    samples1, film = sample(generator, g_params, key, 32, 32)
+    samples1, film = sample(generator, g_params, key, 32, res)
 
-    # dataset histogram
+    # dataset histogram at the final-stage resolution
     from msra_practice_project_tpu.data.image_folder import ImageFolder
-    ds = ImageFolder(os.path.join(base, "exp", "_synthetic_faces"), 64,
-                     resize=0.5)
+    ds = ImageFolder(os.path.join(base, name, "_synthetic_faces"), 64,
+                     resize=res / 64.0)
     _, _, real = ds.get()
     h_real = color_hist(np.asarray(real))
     d0 = np.abs(color_hist(samples0) - h_real).mean()
     d1 = np.abs(color_hist(samples1) - h_real).mean()
     diversity = samples1.std(axis=0).mean()
+    stage_txt = (f"two-stage 32^2 -> fade {fade} -> 64^2"
+                 if two_stage else "single stage 32^2")
+    print(f"[validate] schedule: {stage_txt}; gates at {res}^2")
     print(f"[validate] hist distance untrained {d0:.4f} -> trained {d1:.4f}")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
 
@@ -91,7 +114,7 @@ def main(iterations=1200):
     ph = jnp.zeros((2,))
     pair = np.asarray(generator.render_film(
         g_params, jax.random.fold_in(key, 9), film[:1].repeat(2, 0), th, ph,
-        resolution=32))
+        resolution=res))
     delta = np.abs(pair[0] - pair[1]).mean()
     print(f"[validate] yaw-shift mean pixel delta: {delta:.4f} "
           "(0 = 2D collapse, large = view-inconsistent)")
@@ -103,4 +126,7 @@ def main(iterations=1200):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)
+    its = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    s1 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    fade = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    main(its, s1, fade)
