@@ -25,6 +25,7 @@ Weights are stored as [in_dim, out_dim] so the forward pass is a plain
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -144,8 +145,57 @@ def siren_init(key, in_dim, out_dim, scheme="nerf", dtype=jnp.float32):
     return {"w": w, "b": b}
 
 
+# ---------------------------------------------------------------------------
+# Fast sine: SIREN/FiLM trunks are VPU-transcendental-bound on TPU (sin is
+# 89% of the pi-GAN generator forward — tools/film_bound.py), so the sine's
+# cost IS the trunk's cost.  A degree-7 minimax polynomial with exact fp32
+# range reduction runs ~4.6x the hardware sine on v5e with max abs error
+# 1.8e-6 over [-30, 30] (quality A/B: identical gate results, BASELINE.md).
+# Positional encodings keep exact jnp.sin — they are cheap there and the
+# fused NeRF kernel's PE carries a bitwise-parity contract.
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586
+_SIN_POLY = (0.99999660, -0.16664824, 0.00830629, -0.00018363)
+
+# kill switch for A/B and debugging: MSRA_TPU_FAST_SIN=0 restores jnp.sin
+USE_FAST_SIN = os.environ.get("MSRA_TPU_FAST_SIN", "1") != "0"
+
+
+def fast_sin(v):
+    """sin(v) as a range-reduced degree-7 odd minimax polynomial."""
+    q = jnp.round(v * (1.0 / _TWO_PI))
+    r = v - q * _TWO_PI  # [-pi, pi]
+    r = jnp.where(r > 0.5 * jnp.pi, jnp.pi - r, r)
+    r = jnp.where(r < -0.5 * jnp.pi, -jnp.pi - r, r)
+    r2 = r * r
+    c1, c3, c5, c7 = _SIN_POLY
+    return r * (c1 + r2 * (c3 + r2 * (c5 + r2 * c7)))
+
+
+def trunk_sin(v):
+    """The sine used by SIREN/FiLM activation trunks (fast by default)."""
+    return fast_sin(v) if USE_FAST_SIN else jnp.sin(v)
+
+
+def trunk_sin_vjp(v):
+    """d trunk_sin(v) / dv — consistent with autodiff of trunk_sin, for
+    kernels that hand-write their backward (ops/pallas/film_mlp.py)."""
+    if not USE_FAST_SIN:
+        return jnp.cos(v)
+    q = jnp.round(v * (1.0 / _TWO_PI))
+    r = v - q * _TWO_PI
+    flip = (r > 0.5 * jnp.pi) | (r < -0.5 * jnp.pi)
+    r = jnp.where(r > 0.5 * jnp.pi, jnp.pi - r, r)
+    r = jnp.where(r < -0.5 * jnp.pi, -jnp.pi - r, r)
+    r2 = r * r
+    c1, c3, c5, c7 = _SIN_POLY
+    dp = c1 + r2 * (3 * c3 + r2 * (5 * c5 + r2 * (7 * c7)))
+    return jnp.where(flip, -dp, dp)
+
+
 def siren_apply(params, x, w0=30.0):
-    return jnp.sin(w0 * (x @ params["w"] + params["b"]))
+    return trunk_sin(w0 * (x @ params["w"] + params["b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +219,7 @@ def film_siren_apply(params, x, gamma, beta, w0=30.0):
     conditioning vectors pass gamma/beta shaped [B, 1, ..., F] against
     x [B, ..., in]."""
     y = x @ params["w"] + params["b"]
-    return jnp.sin(w0 * (gamma * y + beta))
+    return trunk_sin(w0 * (gamma * y + beta))
 
 
 # ---------------------------------------------------------------------------

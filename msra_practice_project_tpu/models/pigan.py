@@ -16,6 +16,7 @@ from the reference are deliberate TPU wins:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -133,6 +134,24 @@ class FilmSirenNeRF:
         return g, b
 
     def apply(self, params, x, film):
+        if self._use_fused():
+            return _film_trunk_hybrid(params, x, film, self.cfg.use_dir)
+        return self._apply_xla(params, x, film)
+
+    def _use_fused(self) -> bool:
+        """Hybrid trunk on TPU for the standard shape: the XLA fast-sin path
+        serves inference and the forward (it fuses best end-to-end in the
+        generator), the fused Pallas kernel serves the backward — 1.53x
+        trunk fwd+bwd once both paths use the polynomial sine
+        (ops/pallas/film_mlp.py header has the measured history).
+        MSRA_TPU_FUSED_FILM=0 disables."""
+        cfg = self.cfg
+        return (os.environ.get("MSRA_TPU_FUSED_FILM", "1") != "0"
+                and cfg.hidden_dim == 256 and cfg.hidden_layers == 8
+                and cfg.w0 == 30.0
+                and jax.default_backend() == "tpu")
+
+    def _apply_xla(self, params, x, film):
         cfg = self.cfg
         pos, direction = x[..., :3], x[..., 3:6]
         g, b = self._gamma_beta(film, 0, x.ndim)
@@ -147,6 +166,27 @@ class FilmSirenNeRF:
         h = nn.film_siren_apply(params["rgb_hidden"], h, g, b, cfg.w0)
         rgb = jax.nn.sigmoid(h @ params["rgb"]["w"] + params["rgb"]["b"])
         return jnp.concatenate([rgb, sigma], axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _film_trunk_hybrid(params, x, film, use_dir):
+    """Primal (inference + forward pass): the XLA fast-sin trunk.  Backward:
+    the fused Pallas kernel's recompute backward (ops/pallas/film_mlp.py) —
+    each side where it measures fastest on v5e."""
+    t = FilmSirenNeRF(FilmSirenNeRFConfig(use_dir=use_dir))
+    return t._apply_xla(params, x, film)
+
+
+def _film_hybrid_fwd(params, x, film, use_dir):
+    return _film_trunk_hybrid(params, x, film, use_dir), (params, x, film)
+
+
+def _film_hybrid_bwd(use_dir, res, dy):
+    from ..ops.pallas import film_mlp
+    return film_mlp._bwd_rule(use_dir, True, False, res, dy)
+
+
+_film_trunk_hybrid.defvjp(_film_hybrid_fwd, _film_hybrid_bwd)
 
 
 # ---------------------------------------------------------------------------

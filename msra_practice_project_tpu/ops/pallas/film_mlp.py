@@ -20,12 +20,15 @@ film code) resident in VMEM:
 Contract: matches FilmSirenNeRF.apply to fp32 roundoff in interpret mode
 (bf16=False); compiled runs use bf16 MXU matmuls (sin stays fp32).
 
-MEASURED VERDICT (v5e, batch 64 x 24576 pts): fwd 116 ms vs XLA 105 ms —
-the trunk is VPU-transcendental-bound (~2300 sins/point), so removing HBM
-activation traffic does not pay, and the recompute backward re-does the
-sines.  The XLA path therefore remains the production default
-(models/pigan.py); this kernel is kept as the validated starting point for
-hardware with faster transcendentals or a future sin-pipelined schedule.
+MEASURED VERDICT (v5e, batch 64 x 24576 pts):
+  * round 1 (hardware sine): fwd 116 ms vs XLA 105 ms — the trunk was
+    VPU-transcendental-bound (~2300 sins/point), fusion could not pay.
+  * round 2 (core/nn.fast_sin, the 4.6x polynomial sine, used by BOTH
+    paths): fwd 29.6 ms vs XLA 34.3, fwd+bwd 81.5 ms vs XLA 124.9 —
+    **1.53x**.  With the sine cheap, the HBM activation round-trips the
+    kernel eliminates become the bound, so this IS now the production
+    path: models/pigan.py FilmSirenNeRF.apply auto-dispatches here on TPU
+    for the standard trunk shape (kill switch MSRA_TPU_FUSED_FILM=0).
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ...core import nn
 
 IN_PAD = 8    # [pos(3), dir(3), pad(2)]
 HID = 256
@@ -128,14 +133,14 @@ def _forward_tile(x, film, w, bf16, store_bf16=False):
         W, b = w[f"W{l}"], w[f"b{l}"]
         u = _mm(h if l else x, W, bf16) + b
         g, be = _gb(film, l)
-        hnew = jnp.sin(W0_CONST * (g * u + be))
+        hnew = nn.trunk_sin(W0_CONST * (g * u + be))
         us.append(st(u))
         hs.append(st(hnew))
         h = hnew
     sig = jax.nn.relu(_mm(h, w["Ws"], bf16) + w["bs"])
     u8 = _mm(h, w["W8a"], bf16) + _mm(x, w["W8b"], bf16) + w["b8"]
     g, be = _gb(film, 8)
-    h8 = jnp.sin(W0_CONST * (g * u8 + be))
+    h8 = nn.trunk_sin(W0_CONST * (g * u8 + be))
     rgb = jax.nn.sigmoid(_mm(h8, w["Wr"], bf16) + w["br"])
     us.append(st(u8))
     hs.append(st(h8))
@@ -217,7 +222,7 @@ def _bwd_kernel(bf16, x_ref, film_ref, dy_ref, *refs):
         u = us[l].astype(jnp.float32)
         g, be = _gb(film, l)
         v = g * u + be
-        dv = dh * W0_CONST * jnp.cos(W0_CONST * v)
+        dv = dh * W0_CONST * nn.trunk_sin_vjp(W0_CONST * v)
         du = dv * g
         dgamma = jnp.sum(dv * u, axis=0, keepdims=True)
         dbeta = jnp.sum(dv, axis=0, keepdims=True)

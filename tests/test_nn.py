@@ -70,8 +70,26 @@ def test_film_siren_init_and_apply():
     gamma = jnp.ones((256,)) * 2.0
     beta = jnp.ones((256,)) * 0.5
     got = nn.film_siren_apply(p, x, gamma, beta)
-    want = jnp.sin(30.0 * (2.0 * (x @ p["w"] + p["b"]) + 0.5))
+    # wiring check: gamma/beta placement (sine impl checked separately below)
+    want = nn.trunk_sin(30.0 * (2.0 * (x @ p["w"] + p["b"]) + 0.5))
     np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(
+        got, jnp.sin(30.0 * (2.0 * (x @ p["w"] + p["b"]) + 0.5)), atol=5e-6)
+
+
+def test_fast_sin_accuracy_and_grad():
+    """fast_sin (the SIREN/FiLM trunk sine, ~4.6x HW sin on v5e) must match
+    jnp.sin to <3e-6 over the SIREN argument range, and its hand-written
+    derivative must match autodiff."""
+    v = jnp.linspace(-40.0, 40.0, 100001)
+    np.testing.assert_allclose(np.asarray(nn.fast_sin(v)),
+                               np.asarray(jnp.sin(v)), atol=3e-6)
+    g_auto = jax.vmap(jax.grad(nn.fast_sin))(v)
+    np.testing.assert_allclose(np.asarray(nn.trunk_sin_vjp(v)),
+                               np.asarray(g_auto), atol=1e-6)
+    # derivative is also close to the true cos
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(jnp.cos(v)),
+                               atol=1e-4)
 
 
 def test_positional_encoding_golden():

@@ -25,6 +25,10 @@ RADIUS = 0.6
 
 
 def main(iterations=4000):
+    # fresh run every time — a stale ckpt at `iterations` would resume into
+    # a 0-step no-op and silently validate the previous build
+    import shutil
+    shutil.rmtree("/tmp/sdf_validate/exp", ignore_errors=True)
     cfg = resolve({
         "output_path": "/tmp/sdf_validate", "experiment_name": "exp",
         "data_path": "", "iterations": iterations, "batch_size": 8192,
