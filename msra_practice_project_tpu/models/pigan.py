@@ -134,22 +134,26 @@ class FilmSirenNeRF:
         return g, b
 
     def apply(self, params, x, film):
-        if self._use_fused():
+        mode = self._fused_mode()
+        if mode == 2:
+            from ..ops.pallas.film_mlp import fused_film_apply
+            return fused_film_apply(params, x, film, self.cfg.use_dir)
+        if mode == 1:
             return _film_trunk_hybrid(params, x, film, self.cfg.use_dir)
         return self._apply_xla(params, x, film)
 
-    def _use_fused(self) -> bool:
-        """Hybrid trunk on TPU for the standard shape: the XLA fast-sin path
-        serves inference and the forward (it fuses best end-to-end in the
-        generator), the fused Pallas kernel serves the backward — 1.53x
-        trunk fwd+bwd once both paths use the polynomial sine
-        (ops/pallas/film_mlp.py header has the measured history).
-        MSRA_TPU_FUSED_FILM=0 disables."""
+    def _fused_mode(self) -> int:
+        """Trunk dispatch on TPU for the standard shape.  Modes
+        (MSRA_TPU_FUSED_FILM env var): 0 = pure XLA, 1 = hybrid (XLA fast-sin
+        forward + fused Pallas backward — the measured-fastest combination,
+        ops/pallas/film_mlp.py header has the history), 2 = fused Pallas both
+        directions."""
         cfg = self.cfg
-        return (os.environ.get("MSRA_TPU_FUSED_FILM", "1") != "0"
-                and cfg.hidden_dim == 256 and cfg.hidden_layers == 8
+        if not (cfg.hidden_dim == 256 and cfg.hidden_layers == 8
                 and cfg.w0 == 30.0
-                and jax.default_backend() == "tpu")
+                and jax.default_backend() == "tpu"):
+            return 0
+        return int(os.environ.get("MSRA_TPU_FUSED_FILM", "1"))
 
     def _apply_xla(self, params, x, film):
         cfg = self.cfg

@@ -33,6 +33,7 @@ MEASURED VERDICT (v5e, batch 64 x 24576 pts):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -46,7 +47,13 @@ IN_PAD = 8    # [pos(3), dir(3), pad(2)]
 HID = 256
 OUT_PAD = 8   # [rgb(3), sigma(1), pad(4)]
 N_FILM = 9
-TILE = 256
+# Tile sizes are env-tunable for on-chip sweeps (tools/film_modes.py).
+# Measured (v5e, stage-1 geometry, tools/film_modes.py): bwd 256 -> 512 cuts
+# G fwd+bwd 98 -> 93 ms (the dW/dh matmuls run closer to the chip's measured
+# ~115 TFLOP/s chain ceiling); 768 is within noise of 512; 1024 exceeds VMEM.
+# 512 divides both progressive-stage point counts exactly (no pad waste).
+FWD_TILE = int(os.environ.get("FILM_MLP_FWD_TILE", 256))
+BWD_TILE = int(os.environ.get("FILM_MLP_BWD_TILE", 512))
 W0_CONST = 30.0
 
 
@@ -162,18 +169,29 @@ def _fwd_kernel(bf16, x_ref, film_ref, *refs):
     out_ref[0] = out
 
 
+def _pad_points(x, tile):
+    """Pad axis 1 to a tile multiple."""
+    p = x.shape[1]
+    pad = (-p) % tile
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
 @partial(jax.jit, static_argnames=("bf16", "interpret"))
 def _fused_forward(x, film, weights, bf16=True, interpret=False):
+    tile = min(FWD_TILE, max(x.shape[1], 8))
+    x = _pad_points(x, tile)
     b, p = x.shape[:2]
-    n_tiles = p // TILE
+    n_tiles = p // tile
     in_specs = (
-        [pl.BlockSpec((1, TILE, IN_PAD), lambda i, j: (i, j, 0),
+        [pl.BlockSpec((1, tile, IN_PAD), lambda i, j: (i, j, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((1, N_FILM, 2 * HID), lambda i, j: (i, 0, 0),
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_IN
     )
-    out_specs = pl.BlockSpec((1, TILE, OUT_PAD), lambda i, j: (i, j, 0),
+    out_specs = pl.BlockSpec((1, tile, OUT_PAD), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fwd_kernel, bf16),
@@ -262,19 +280,23 @@ def _bwd_kernel(bf16, x_ref, film_ref, dy_ref, *refs):
 
 @partial(jax.jit, static_argnames=("bf16", "interpret"))
 def _fused_backward(x, film, dy, weights, bf16=True, interpret=False):
+    p_orig = x.shape[1]
+    tile = min(BWD_TILE, max(p_orig, 8))
+    x = _pad_points(x, tile)
+    dy = _pad_points(dy, tile)
     b, p = x.shape[:2]
-    n_tiles = p // TILE
+    n_tiles = p // tile
     in_specs = (
-        [pl.BlockSpec((1, TILE, IN_PAD), lambda i, j: (i, j, 0),
+        [pl.BlockSpec((1, tile, IN_PAD), lambda i, j: (i, j, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((1, N_FILM, 2 * HID), lambda i, j: (i, 0, 0),
                       memory_space=pltpu.VMEM),
-         pl.BlockSpec((1, TILE, OUT_PAD), lambda i, j: (i, j, 0),
+         pl.BlockSpec((1, tile, OUT_PAD), lambda i, j: (i, j, 0),
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_IN
     )
     out_specs = (
-        [pl.BlockSpec((1, TILE, IN_PAD), lambda i, j: (i, j, 0),
+        [pl.BlockSpec((1, tile, IN_PAD), lambda i, j: (i, j, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((1, N_FILM, 2 * HID), lambda i, j: (i, 0, 0),
                       memory_space=pltpu.VMEM)]
@@ -293,7 +315,7 @@ def _fused_backward(x, film, dy, weights, bf16=True, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(x, film, dy, *weights)
-    return outs[0], outs[1], outs[2:]
+    return outs[0][:, :p_orig], outs[1], outs[2:]
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +329,10 @@ def _prep(params, x, film, use_dir):
     b = film.shape[0]
     flat = x.reshape(b, -1, x.shape[-1])
     p = flat.shape[1]
-    p_pad = -(-p // TILE) * TILE
+    # pad up-front to both kernels' tile multiple so their internal pads are
+    # identities (mirrors nerf_mlp._prep)
+    tile_mult = max(FWD_TILE, BWD_TILE)
+    p_pad = -(-p // tile_mult) * tile_mult
     x_pad = jnp.zeros((b, p_pad, IN_PAD), jnp.float32)
     x_pad = x_pad.at[:, :p, :6].set(flat)
     return weights, x_pad, p
