@@ -6,13 +6,21 @@ Re-design of pi_GAN/dataloader.py:9-73.  Same contract: `get()` returns
 once and keeps the whole dataset as one device array (the datasets involved —
 64x64 crops — fit trivially in HBM, so preload is the default here, unlike
 the reference where it competed with the model for GPU memory).
+
+For datasets that do NOT fit in HBM, `preload=False` streams batches; with
+`prefetch=True` (default) a worker thread decodes and stages batch k+1 while
+the device trains on batch k, so PIL decode never sits on the step's critical
+path (the reference decodes synchronously inside `get()`,
+pi_GAN/dataloader.py:62-66).  The (epoch, batch, contents) sequence is
+identical with and without prefetch.
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -20,7 +28,8 @@ from PIL import Image
 
 class ImageFolder:
     def __init__(self, data_path: str, batch_size: int, resize: float = 1.0,
-                 preload: bool = True, keep_full: bool = True, seed: int = 0):
+                 preload: bool = True, keep_full: bool = True, seed: int = 0,
+                 prefetch: bool = True, prefetch_depth: int = 2):
         self.data_path = data_path
         self.batch_size = batch_size
         self.resize = resize
@@ -41,9 +50,16 @@ class ImageFolder:
         self.batch_num = n // batch_size if keep_full else -(-n // batch_size)
         self.batch_num = max(self.batch_num, 1)
         self._cache = None
+        self._queue = None
+        self._worker = None
+        self._stop = threading.Event()
         if preload:
             self._cache = jnp.asarray(
                 np.stack([self._read(f) for f in self.files]))
+        elif prefetch:
+            self._queue = queue.Queue(maxsize=max(1, prefetch_depth))
+            self._worker = threading.Thread(target=self._produce, daemon=True)
+            self._worker.start()
 
     def _read(self, path: str) -> np.ndarray:
         img = Image.open(path).convert("RGB")
@@ -55,23 +71,50 @@ class ImageFolder:
     def __len__(self):
         return len(self.files)
 
-    def get(self):
-        """(epoch_idx, batch_idx, images [B, H, W, 3] device array)."""
+    def _next_indices(self):
+        """Advance the (epoch, batch, file-index) cursor — the single source
+        of batch order for both the sync and the prefetch path."""
         lo = self.batch_idx * self.batch_size
         hi = min(lo + self.batch_size, len(self.files))
-        idx = self._order[lo:hi]
-        if self._cache is not None:
-            batch = self._cache[jnp.asarray(idx)]
-        else:
-            batch = jnp.asarray(np.stack([self._read(self.files[i])
-                                          for i in idx]))
-        out = (self.epoch_idx, self.batch_idx, batch)
+        idx = self._order[lo:hi].copy()
+        out = (self.epoch_idx, self.batch_idx, idx)
         self.batch_idx += 1
         if self.batch_idx >= self.batch_num:
             self.batch_idx = 0
             self.epoch_idx += 1
             self._rng.shuffle(self._order)
         return out
+
+    def _produce(self):
+        while not self._stop.is_set():
+            epoch, bidx, idx = self._next_indices()
+            stack = np.stack([self._read(self.files[i]) for i in idx])
+            while not self._stop.is_set():
+                try:
+                    self._queue.put((epoch, bidx, stack), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        """Stop the prefetch worker (no-op otherwise)."""
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout=5.0)
+            self._worker = None
+
+    def get(self):
+        """(epoch_idx, batch_idx, images [B, H, W, 3] device array)."""
+        if self._queue is not None:
+            epoch, bidx, stack = self._queue.get()
+            return epoch, bidx, jnp.asarray(stack)
+        epoch, bidx, idx = self._next_indices()
+        if self._cache is not None:
+            batch = self._cache[jnp.asarray(idx)]
+        else:
+            batch = jnp.asarray(np.stack([self._read(self.files[i])
+                                          for i in idx]))
+        return epoch, bidx, batch
 
 
 def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0):

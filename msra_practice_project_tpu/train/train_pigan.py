@@ -258,6 +258,7 @@ def train(config) -> dict:
                 and global_step == iterations[stage + 1]):
             stage += 1
             if stage < len(resolutions):
+                dataset.close()
                 dataset = ImageFolder(data_path, batch_sizes[stage],
                                       resize=resolutions[stage] / 64.0)
                 d_step_fn, g_step_fn = make_gan_steps(

@@ -106,6 +106,25 @@ def test_image_folder_epochs(tmp_path):
     assert seen == [(0, 0), (0, 1), (1, 0), (1, 1)]
 
 
+def test_image_folder_prefetch_stream_identical(tmp_path):
+    """The threaded-prefetch streaming path must yield the exact same
+    (epoch, batch, contents) sequence as the synchronous one."""
+    image_folder.make_synthetic_faces(str(tmp_path), n=10, size=8)
+    sync = image_folder.ImageFolder(str(tmp_path), batch_size=4,
+                                    preload=False, prefetch=False, seed=3)
+    pre = image_folder.ImageFolder(str(tmp_path), batch_size=4,
+                                   preload=False, prefetch=True, seed=3)
+    try:
+        for _ in range(6):  # spans two epoch reshuffles
+            es, bs, xs = sync.get()
+            ep, bp, xp = pre.get()
+            assert (es, bs) == (ep, bp)
+            np.testing.assert_array_equal(np.asarray(xs), np.asarray(xp))
+    finally:
+        pre.close()
+    assert pre._worker is None  # close() joined the thread
+
+
 def test_image_folder_resize(tmp_path):
     image_folder.make_synthetic_faces(str(tmp_path), n=4, size=64)
     ds = image_folder.ImageFolder(str(tmp_path), batch_size=2, resize=0.5)
