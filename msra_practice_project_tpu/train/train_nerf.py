@@ -320,8 +320,7 @@ def train(config) -> dict:
             batch_idx += n_chunk
             global_step += n_chunk
             state, ms = multi_fn(state, batches, keys)
-            for i in range(n_chunk):
-                logger.append(loss=ms["loss"][i], psnr=ms["psnr"][i])
+            logger.append_vec(loss=ms["loss"], psnr=ms["psnr"])
             m = {key_: v[-1] for key_, v in ms.items()}
         else:
             if global_step + 1 <= config["start_up_itrs"]:

@@ -297,8 +297,19 @@ def train(config) -> dict:
 
 
 def _flush_loss_log(loss_log: dict) -> None:
+    """Convert pending device scalars to floats in ONE device concatenation
+    + ONE transfer per key (a float(v) per value pays the ~28 ms tunnel
+    round-trip per VALUE — core/logging.MetricLogger has the measurement)."""
     for k, vs in loss_log.items():
-        loss_log[k] = [float(v) for v in vs]
+        start = next((i for i, v in enumerate(vs)
+                      if not isinstance(v, float)), len(vs))
+        pend = vs[start:]
+        if not pend:
+            continue
+        parts = [jnp.asarray(v, jnp.float32).reshape(1) for v in pend]
+        flat = np.asarray(parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts))
+        loss_log[k] = vs[:start] + [float(x) for x in flat]
 
 
 def main(argv=None):

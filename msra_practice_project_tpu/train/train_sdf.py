@@ -62,8 +62,7 @@ def sdf_loss(apply_fn, params, on_point, on_norm, off_point):
             + k[3] * normal_loss)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
-def _train_step(state, cloud, batch_start, key, *, apply_fn, tx, batch_size):
+def _step_impl(state, cloud, batch_start, key, apply_fn, tx, batch_size):
     batch = jax.lax.dynamic_slice_in_dim(cloud, batch_start, batch_size)
     on_point, on_norm = batch[:, :3], batch[:, 3:]
     off_point = jax.random.uniform(key, (batch_size, 3), minval=-1.0,
@@ -78,6 +77,25 @@ def _train_step(state, cloud, batch_start, key, *, apply_fn, tx, batch_size):
         "opt_state": opt_state,
         "step": state["step"] + 1,
     }, {"loss": loss}
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
+def _train_step(state, cloud, batch_start, key, *, apply_fn, tx, batch_size):
+    return _step_impl(state, cloud, batch_start, key, apply_fn, tx,
+                      batch_size)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
+def _train_multistep(state, cloud, batch_starts, keys, *, apply_fn, tx,
+                     batch_size):
+    """K steps in ONE dispatch (lax.scan) — amortises the ~1.2 ms/dispatch
+    tunnel cost; identical math to K _train_step calls (same slice starts and
+    per-step off-surface RNG keys)."""
+    def body(st, sk):
+        start, key = sk
+        return _step_impl(st, cloud, start, key, apply_fn, tx, batch_size)
+
+    return jax.lax.scan(body, state, (batch_starts, keys))
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "n"))
@@ -145,19 +163,48 @@ def train(config) -> dict:
     batch_num = max(n // batch_size, 1)
     i_mesh = config.get("i_mesh", 1000)
     mesh_n = config.get("mesh_n", 128)
-    for global_step in range(global_step + 1, config.iterations + 1):
-        profiler.tick(global_step)
-        state, m = _train_step(
-            state, cloud, batch_idx * batch_size,
-            jax.random.fold_in(root_key, global_step),
-            apply_fn=apply_fn, tx=tx, batch_size=batch_size)
-        batch_idx += 1
+    steps_per_call = int(config.get("steps_per_call", 8))
+    iterations = config.iterations
+
+    def dist_to(step, every):
+        return every - (step % every)
+
+    while global_step < iterations:
+        profiler.tick(global_step + 1)
+        # Chunks never cross cadence or epoch-reshuffle boundaries, so
+        # prints, meshes, saves and reshuffles land on the exact same steps.
+        n_chunk = min(
+            steps_per_call, iterations - global_step,
+            batch_num - batch_idx,
+            dist_to(global_step, config.i_print),
+            dist_to(global_step, i_mesh),
+            dist_to(global_step, config.i_save),
+        )
+        if n_chunk > 1:
+            starts = jnp.asarray(
+                [(batch_idx + i) * batch_size for i in range(n_chunk)],
+                jnp.int32)
+            keys = jnp.stack(
+                [jax.random.fold_in(root_key, global_step + 1 + i)
+                 for i in range(n_chunk)])
+            state, ms = _train_multistep(
+                state, cloud, starts, keys,
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+            logger.append_vec(loss=ms["loss"])
+            m = {"loss": ms["loss"][-1]}
+        else:
+            state, m = _train_step(
+                state, cloud, batch_idx * batch_size,
+                jax.random.fold_in(root_key, global_step + 1),
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+            logger.append(loss=m["loss"])
+        batch_idx += n_chunk
+        global_step += n_chunk
         if (batch_idx + 1) * batch_size > n:
             batch_idx = 0
             epoch_idx += 1
             cloud = jax.random.permutation(
                 jax.random.fold_in(shuffle_key, epoch_idx), cloud, axis=0)
-        logger.append(loss=m["loss"])
 
         if global_step % config.i_print == 0:
             log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx}) "

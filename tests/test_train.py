@@ -39,6 +39,34 @@ def test_train_img_converges(tmp_path):
     assert (log / "config.json").exists()
 
 
+def test_train_img_multistep_matches_single(tmp_path):
+    """steps_per_call>1 (scan dispatch) must reproduce the single-step loss
+    history exactly — same slices, same update order."""
+    from msra_practice_project_tpu.train import train_img
+
+    outs = {}
+    for k in (1, 8):
+        cfg = _cfg(tmp_path, f"img_spc{k}", SIREN_IMG_DEFAULTS, iterations=25,
+                   batch_size=256, i_print=1000, i_save=100, i_image=1000,
+                   data_size=16, steps_per_call=k)
+        outs[k] = train_img.train(cfg)["log"]["loss"]
+    np.testing.assert_allclose(outs[1], outs[8], rtol=1e-6)
+
+
+def test_train_sdf_multistep_matches_single(tmp_path):
+    """Same for the SDF trainer (per-step off-surface RNG keys included)."""
+    from msra_practice_project_tpu.train import train_sdf
+
+    outs = {}
+    for k in (1, 6):
+        cfg = _cfg(tmp_path, f"sdf_spc{k}", SIREN_SDF_DEFAULTS, iterations=13,
+                   batch_size=128, i_print=1000, i_save=100, i_mesh=100,
+                   mesh_n=8, final_mesh_n=8, data_points=640, data_path="",
+                   steps_per_call=k)
+        outs[k] = train_sdf.train(cfg)["log"]["loss"]
+    np.testing.assert_allclose(outs[1], outs[6], rtol=1e-6)
+
+
 def test_train_img_resume(tmp_path):
     from msra_practice_project_tpu.train import train_img
 
@@ -231,7 +259,8 @@ def test_train_sdf_reshuffles_each_epoch(tmp_path, monkeypatch):
     monkeypatch.setattr(train_sdf, "_train_step", spy)
     cfg = _cfg(tmp_path, "sdf_shuf", SIREN_SDF_DEFAULTS, iterations=6,
                batch_size=256, i_print=1000, i_save=100, i_mesh=100,
-               mesh_n=8, final_mesh_n=8, data_points=512, data_path="")
+               mesh_n=8, final_mesh_n=8, data_points=512, data_path="",
+               steps_per_call=1)  # the spy hooks the single-step path
     train_sdf.train(cfg)
     # 512 pts / 256 batch -> epoch boundary after step 1 (ragged-tail drop);
     # collect the cloud head at the same batch_start in different epochs.
