@@ -52,7 +52,7 @@ def model_fns(config, models, state):
 
 
 def render_view(config, models, state, width, height, focal, pose, key,
-                sample_mult: float = 1.0, chunk: int = 4096):
+                sample_mult: float = 1.0, chunk: int = 16384):
     coarse_fn, fine_fn = model_fns(config, models, state)
     nc = int(sample_mult * config["render_coarse_sample_num"])
     nf = int(sample_mult * config["render_fine_sample_num"])

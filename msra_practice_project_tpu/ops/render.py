@@ -110,11 +110,17 @@ def _render_image_jit(key, width, height, focal, c2w, near, far,
 
 def render_image(key, width, height, focal, c2w, near, far, coarse_fn,
                  fine_fn, coarse_sample_num: int, fine_sample_num: int,
-                 chunk: int = 4096, perturb: bool = True,
+                 chunk: int = 16384, perturb: bool = True,
                  white_bkgd: bool = True):
     """Full-frame render, tiled over fixed-size ray blocks
     (ref: nerf/render.py:150-167 with chunk-as-static-tile instead of a host
     loop).  Returns (rgb [H,W,3], depth [H,W,1], acc [H,W,1]) device arrays.
+
+    Default tile = 16384 rays (the reference's eval chunk): measured ~2x the
+    4096-ray tile on v5e at 64+128 samples (175-212k vs 86-100k rays/s) —
+    bigger matmul blocks keep the MXU fed.  The fused train kernel was ALSO
+    measured here and loses to plain XLA forward-only (≈135k rays/s): its win
+    is the backward, so eval stays on the XLA path.
 
     `coarse_fn`/`fine_fn` should be `jax.tree_util.Partial(apply, params)`
     objects — they travel through jit as pytrees, so params updates don't
@@ -157,7 +163,7 @@ _SHARDED_TILE_CACHE: dict = {}
 
 def render_image_sharded(key, width, height, focal, c2w, near, far,
                          coarse_fn, fine_fn, coarse_sample_num: int,
-                         fine_sample_num: int, mesh, chunk: int = 4096,
+                         fine_sample_num: int, mesh, chunk: int = 16384,
                          perturb: bool = True, white_bkgd: bool = True,
                          axis: str = "data"):
     """`render_image` with the ray-tile axis sharded over a device mesh.
@@ -201,7 +207,7 @@ def render_image_sharded(key, width, height, focal, c2w, near, far,
 
 def render_video(key, width, height, focal, poses, near, far, coarse_fn,
                  fine_fn, coarse_sample_num, fine_sample_num,
-                 chunk: int = 4096):
+                 chunk: int = 16384):
     """Render a pose sequence (ref: nerf/render.py:170-182).  Returns stacked
     numpy arrays (frames move to host as they complete)."""
     import numpy as np
