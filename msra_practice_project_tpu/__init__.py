@@ -19,3 +19,10 @@ over a ``jax.sharding.Mesh`` for multi-chip scale-out (``parallel/``).
 """
 
 __version__ = "0.1.0"
+
+# Every entry point (trainers, eval scripts, tools, bench) pays the remote
+# TPU compiler per process without this; see core/compile_cache.py.
+from .core import compile_cache as _compile_cache
+
+_compile_cache.enable()
+del _compile_cache

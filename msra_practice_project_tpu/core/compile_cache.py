@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache for every framework entry point.
+
+The remote TPU compiler behind the axon tunnel costs 20-350 s per jitted
+graph, paid again by every process (each validate/eval/bench run recompiles
+the same render and train steps).  JAX's persistent compilation cache
+replays an identical compile from disk — measured 345 s -> 4.4 s for a
+deep matmul chain through the tunnel.
+
+Enabled automatically when the package is imported; opt out with
+``MSRA_TPU_COMPILE_CACHE=0``, relocate with ``MSRA_TPU_COMPILE_CACHE_DIR``.
+A user-level ``JAX_COMPILATION_CACHE_DIR`` env setting wins — we never
+override an explicit JAX configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                            "msra_tpu_xla_cache")
+
+# Only persist compiles that cost real time; keeps the tiny always-changing
+# test graphs (CPU backend, random shapes) from churning the cache.
+_MIN_COMPILE_SECS = 5.0
+
+
+def enable(cache_dir: str | None = None) -> bool:
+    """Turn on the persistent cache.  Returns True if active."""
+    if os.environ.get("MSRA_TPU_COMPILE_CACHE", "1") == "0":
+        return False
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return True  # user already configured jax's own knob
+    path = (cache_dir or os.environ.get("MSRA_TPU_COMPILE_CACHE_DIR")
+            or _DEFAULT_DIR)
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          _MIN_COMPILE_SECS)
+    except Exception:
+        return False
+    return True

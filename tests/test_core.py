@@ -290,3 +290,23 @@ def test_step_profiler_writes_trace(tmp_path):
         _ = jnp.arange(8.0).sum().block_until_ready()
     prof.stop()
     assert os.path.isdir(os.path.join(str(tmp_path), "profile"))
+
+
+def test_compile_cache_enabled_by_default(monkeypatch):
+    """Package import points jax at the persistent compilation cache (the
+    remote TPU compiler costs 20-350 s per graph per process without it);
+    MSRA_TPU_COMPILE_CACHE=0 opts out, an explicit JAX env setting wins."""
+    import jax
+
+    from msra_practice_project_tpu.core import compile_cache
+
+    assert jax.config.jax_compilation_cache_dir  # set at package import
+
+    monkeypatch.setenv("MSRA_TPU_COMPILE_CACHE", "0")
+    assert compile_cache.enable() is False
+
+    monkeypatch.delenv("MSRA_TPU_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/user_choice")
+    before = jax.config.jax_compilation_cache_dir
+    assert compile_cache.enable() is True
+    assert jax.config.jax_compilation_cache_dir == before  # not overridden
