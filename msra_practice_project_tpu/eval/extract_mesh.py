@@ -48,6 +48,14 @@ def extract_mesh(generator, g_params, key, filename: str, n: int = 256):
     voxel_size = 2 * BOUND / (n - 1)
     verts, faces = mesh_lib.extract_mesh_from_grid(
         values, LEVEL, (-BOUND,) * 3, voxel_size, filename + ".ply")
+    if verts.shape[0] == 0:
+        # values holds -sigma; an isosurface at LEVEL=-20 needs sigma to
+        # cross 20 inside the +-BOUND cube (true for the reference's fully
+        # trained face models, not for short smoke runs with diffuse fields).
+        print(f"[extract_mesh] empty isosurface: sigma in "
+              f"[{-values.max():.2f}, {-values.min():.2f}] never crosses "
+              f"{-LEVEL:.0f} inside the +-{BOUND} cube (under-trained "
+              f"generator?)")
     return verts, faces
 
 
