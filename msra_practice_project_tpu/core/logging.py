@@ -88,5 +88,23 @@ class MetricLogger:
         return np.load(path, allow_pickle=True).item()
 
 
+def flush_scalar_list(vs: list) -> list:
+    """Convert a float-prefix + pending-device-scalar list to all floats in
+    ONE device concatenation + ONE transfer (a `float(v)` per value pays the
+    ~28 ms tunnel round-trip per VALUE).  Entries may be python floats,
+    device scalars, or [K] per-scan-chunk vectors; vectors flatten in order.
+    """
+    import jax.numpy as jnp
+
+    start = next((i for i, v in enumerate(vs) if not isinstance(v, float)),
+                 len(vs))
+    pend = vs[start:]
+    if not pend:
+        return vs
+    parts = [jnp.atleast_1d(jnp.asarray(v, jnp.float32)) for v in pend]
+    flat = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
+    return vs[:start] + [float(x) for x in flat]
+
+
 def log_print(msg: str):
     print(msg, flush=True)

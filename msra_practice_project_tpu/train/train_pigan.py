@@ -32,6 +32,7 @@ import optax
 from ..core import ckpt as ckpt_lib
 from ..core import diagnostics, image_io
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir, save_config
+from ..core import logging as logging_lib
 from ..core.logging import log_print
 from ..data.image_folder import ImageFolder, make_synthetic_faces
 from ..models import pigan
@@ -297,19 +298,10 @@ def train(config) -> dict:
 
 
 def _flush_loss_log(loss_log: dict) -> None:
-    """Convert pending device scalars to floats in ONE device concatenation
-    + ONE transfer per key (a float(v) per value pays the ~28 ms tunnel
-    round-trip per VALUE — core/logging.MetricLogger has the measurement)."""
+    """One batched device->host transfer per key (core/logging has the
+    ~28 ms/scalar measurement)."""
     for k, vs in loss_log.items():
-        start = next((i for i, v in enumerate(vs)
-                      if not isinstance(v, float)), len(vs))
-        pend = vs[start:]
-        if not pend:
-            continue
-        parts = [jnp.asarray(v, jnp.float32).reshape(1) for v in pend]
-        flat = np.asarray(parts[0] if len(parts) == 1
-                          else jnp.concatenate(parts))
-        loss_log[k] = vs[:start] + [float(x) for x in flat]
+        loss_log[k] = logging_lib.flush_scalar_list(vs)
 
 
 def main(argv=None):

@@ -189,3 +189,26 @@ def test_pose_prior_scatter(pigan_exp, tmp_path):
     pigan_demo.show_pose_distribution(generator, jax.random.PRNGKey(0),
                                       n=100, save_path=out)
     assert os.path.exists(out)
+
+
+def test_pigan_synthesis_multistep_matches_single(pigan_exp):
+    """steps_per_call>1 (scan dispatch) must reproduce the single-step
+    loss history exactly (same per-step RNG keys, same update order)."""
+    import shutil
+
+    from msra_practice_project_tpu.core.config import Config
+    from msra_practice_project_tpu.train import synthesis
+
+    cfg, log = pigan_exp
+    synthesis.RESOLUTION, synthesis.COARSE, synthesis.FINE = 8, 2, 2
+    synthesis.FINAL_RES = 8
+    synthesis.FINAL_COARSE = synthesis.FINAL_FINE = 2
+    synthesis.I_IMAGE, synthesis.I_SAVE = 1000, 1000
+    outs = {}
+    for k in (1, 4):
+        shutil.rmtree(log + "_syn", ignore_errors=True)  # fresh resume state
+        c = dict(cfg)
+        c["syn_iterations"] = 6
+        c["steps_per_call"] = k
+        outs[k] = synthesis.synthesize(Config(c))["loss_log"]
+    np.testing.assert_allclose(outs[1], outs[4], rtol=1e-6)
