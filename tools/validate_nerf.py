@@ -137,7 +137,7 @@ def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
     return focal
 
 
-def main(iterations=3000, size=64, scene="easy"):
+def main(iterations=3000, size=64, scene="easy", use_siren=False):
     from msra_practice_project_tpu.eval.nerf_common import (
         load_experiment, render_view,
     )
@@ -150,16 +150,22 @@ def main(iterations=3000, size=64, scene="easy"):
         print(f"[validate] rendering analytic dataset ({scene})...")
         make_dataset(data_dir, size, scene=scene)
 
+    exp = f"exp_{scene}" + ("_siren" if use_siren else "")
     cfg = resolve({
-        "output_path": base, "experiment_name": f"exp_{scene}",
+        "output_path": base, "experiment_name": exp,
         "data_path": data_dir, "data_resize": 1.0, "data_skip": 1,
         "iterations": iterations, "batch_size": 1024, "start_up_itrs": 200,
         "i_print": max(iterations // 10, 1), "i_save": iterations,
         "i_image": iterations, "steps_per_call": 10,
+        # SIREN backbone = the lego_siren ablation's settings (XLA path —
+        # the fused kernel is PE-NeRF-only): lr 1e-4, no start-up crop,
+        # alpha supervision on (nerf/configs/lego_siren.json)
+        **({"use_siren": True, "learning_rate": 1e-4, "start_up_itrs": 0,
+            "use_alpha": True} if use_siren else {}),
     }, NERF_TRAIN_DEFAULTS)
     # fresh run every time — a stale ckpt at `iterations` would resume into
     # a 0-step no-op and silently validate the previous build
-    log_path = os.path.join(base, f"exp_{scene}")
+    log_path = os.path.join(base, exp)
     shutil.rmtree(log_path, ignore_errors=True)
     print(f"[validate] training {iterations} iters...")
     out = train_nerf.train(cfg)
@@ -200,14 +206,19 @@ def main(iterations=3000, size=64, scene="easy"):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--scene")]
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--scene") and a != "--siren"]
     scene = "easy"
+    use_siren = "--siren" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--scene"):
             scene = a.split("=", 1)[1] if "=" in a else "hard"
         elif a in SCENES:
             scene = a
             args.remove(a)
+        elif a == "siren":
+            use_siren = True
+            args.remove(a)
     its = int(args[0]) if len(args) > 0 else 3000
     size = int(args[1]) if len(args) > 1 else 64
-    main(its, size, scene)
+    main(its, size, scene, use_siren)
