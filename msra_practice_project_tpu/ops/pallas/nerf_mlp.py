@@ -25,7 +25,6 @@ matmuls); with bf16=False it matches to fp32 roundoff.
 
 from __future__ import annotations
 
-import math
 import os
 from functools import partial
 
