@@ -310,3 +310,39 @@ def test_compile_cache_enabled_by_default(monkeypatch):
     before = jax.config.jax_compilation_cache_dir
     assert compile_cache.enable() is True
     assert jax.config.jax_compilation_cache_dir == before  # not overridden
+
+
+def test_all_shipped_configs_load_verbatim():
+    """Every one of the 49 reference-mirrored experiment JSONs loads through
+    load_config and resolves against its stack's defaults table with no
+    unknown-key or type surprises (the verbatim-load invariant)."""
+    import glob
+
+    from msra_practice_project_tpu.core.config import (
+        NERF_TRAIN_DEFAULTS, PIGAN_TRAIN_DEFAULTS, SIREN_IMG_DEFAULTS,
+        SIREN_SDF_DEFAULTS, load_config, resolve,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "msra_practice_project_tpu", "configs")
+    tables = {"nerf": NERF_TRAIN_DEFAULTS, "pi_gan": PIGAN_TRAIN_DEFAULTS}
+    n = 0
+    for path in sorted(glob.glob(os.path.join(root, "*", "*.json"))):
+        stack = os.path.basename(os.path.dirname(path))
+        if stack == "siren":
+            table = (SIREN_SDF_DEFAULTS if "_sdf" in path
+                     else SIREN_IMG_DEFAULTS)
+        else:
+            table = tables[stack]
+        cfg = resolve(load_config(path), table)
+        assert cfg["experiment_name"], path
+        assert cfg["iterations"], path
+        n += 1
+    assert n == 49, f"expected 49 shipped configs, found {n}"
+    # spot values straight from the reference files
+    lego = resolve(load_config(os.path.join(root, "nerf", "lego.json")),
+                   NERF_TRAIN_DEFAULTS)
+    assert lego["batch_size"] == 1024 and lego["render_far"] == 6.0
+    gan = resolve(load_config(os.path.join(root, "pi_gan", "test.json")),
+                  PIGAN_TRAIN_DEFAULTS)
+    assert gan["resolution"] == [32, 64] and gan["z_dim"] == 1024
