@@ -346,3 +346,19 @@ def test_all_shipped_configs_load_verbatim():
     gan = resolve(load_config(os.path.join(root, "pi_gan", "test.json")),
                   PIGAN_TRAIN_DEFAULTS)
     assert gan["resolution"] == [32, 64] and gan["z_dim"] == 1024
+
+
+def test_flush_scalar_list_mixed_entries():
+    """Floats pass through; device scalars and [K] chunk vectors convert in
+    one batched transfer, flattened in order."""
+    import jax.numpy as jnp
+
+    from msra_practice_project_tpu.core.logging import flush_scalar_list
+
+    vs = [1.0, 2.0, jnp.float32(3.0), jnp.asarray([4.0, 5.0]),
+          jnp.float32(6.0)]
+    out = flush_scalar_list(vs)
+    assert out == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    assert all(isinstance(v, float) for v in out)
+    assert flush_scalar_list([]) == []
+    assert flush_scalar_list([1.5, 2.5]) == [1.5, 2.5]
