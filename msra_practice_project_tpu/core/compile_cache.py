@@ -28,6 +28,12 @@ def enable(cache_dir: str | None = None) -> bool:
     """Turn on the persistent cache.  Returns True if active."""
     if os.environ.get("MSRA_TPU_COMPILE_CACHE", "1") == "0":
         return False
+    # CPU-pinned runs (tests, the multichip dryrun re-exec) skip the cache:
+    # the remote-compiler latency it solves doesn't exist there, and XLA:CPU
+    # AOT entries embed host machine features — replaying one on a different
+    # host warns about feature mismatch and can SIGILL.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
+        return False
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return True  # user already configured jax's own knob
     path = (cache_dir or os.environ.get("MSRA_TPU_COMPILE_CACHE_DIR")

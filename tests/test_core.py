@@ -292,24 +292,37 @@ def test_step_profiler_writes_trace(tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path), "profile"))
 
 
-def test_compile_cache_enabled_by_default(monkeypatch):
+def test_compile_cache_enabled_by_default(monkeypatch, tmp_path):
     """Package import points jax at the persistent compilation cache (the
-    remote TPU compiler costs 20-350 s per graph per process without it);
+    remote TPU compiler costs 20-350 s per graph per process without it).
+    CPU-pinned runs (like this test env) skip it — XLA:CPU AOT entries
+    embed host machine features and can SIGILL on replay elsewhere.
     MSRA_TPU_COMPILE_CACHE=0 opts out, an explicit JAX env setting wins."""
     import jax
 
     from msra_practice_project_tpu.core import compile_cache
 
-    assert jax.config.jax_compilation_cache_dir  # set at package import
+    # this test session runs under JAX_PLATFORMS=cpu -> cache stayed off
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    assert compile_cache.enable() is False
+    assert not jax.config.jax_compilation_cache_dir
 
+    monkeypatch.setenv("JAX_PLATFORMS", "")  # TPU-default environment
     monkeypatch.setenv("MSRA_TPU_COMPILE_CACHE", "0")
     assert compile_cache.enable() is False
 
     monkeypatch.delenv("MSRA_TPU_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/user_choice")
-    before = jax.config.jax_compilation_cache_dir
     assert compile_cache.enable() is True
-    assert jax.config.jax_compilation_cache_dir == before  # not overridden
+    assert not jax.config.jax_compilation_cache_dir  # jax's own knob wins
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    d = str(tmp_path / "cache")
+    try:
+        assert compile_cache.enable(d) is True
+        assert jax.config.jax_compilation_cache_dir == d
+    finally:  # keep the rest of the CPU test session cache-free
+        jax.config.update("jax_compilation_cache_dir", None)
 
 
 def test_all_shipped_configs_load_verbatim():
