@@ -118,8 +118,7 @@ def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
             c2w = np.asarray(ray_ops.camera_pose_deg(4.0, theta, phi))
             rgb, _, acc = render_image(
                 jax.random.fold_in(key, hash((split, i)) % (2**31)),
-                size, size, focal, jnp.asarray(c2w), 2.0, 6.0, f, f, 64, 128,
-                chunk=4096)
+                size, size, focal, jnp.asarray(c2w), 2.0, 6.0, f, f, 64, 128)
             rgba = np.concatenate(
                 [np.asarray(rgb), np.asarray(acc)], axis=-1)
             img8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
