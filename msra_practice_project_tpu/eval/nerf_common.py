@@ -10,7 +10,8 @@ import numpy as np
 from ..core import ckpt as ckpt_lib
 from ..core.config import NERF_TRAIN_DEFAULTS, load_config, resolve
 from ..models.nerf import nerf_model
-from ..ops.render import render_image
+from ..ops.render import render_image, render_image_sharded
+from ..parallel import mesh as mesh_lib
 from ..train import common
 
 
@@ -51,12 +52,34 @@ def model_fns(config, models, state):
     return coarse_fn, fine_fn
 
 
+_EVAL_MESH = None
+
+
+def _eval_mesh():
+    """One shared 1-D mesh over all devices for eval renders (None if the
+    host has a single device — the common TPU-v5e-1 case)."""
+    global _EVAL_MESH
+    if _EVAL_MESH is None and len(jax.devices()) > 1:
+        _EVAL_MESH = mesh_lib.make_mesh()
+    return _EVAL_MESH
+
+
 def render_view(config, models, state, width, height, focal, pose, key,
                 sample_mult: float = 1.0, chunk: int = 16384):
+    """Render one full frame; on a multi-chip host the ray tiles shard over
+    all devices automatically (render_image_sharded == render_image,
+    equality-tested in tests/test_parallel.py)."""
     coarse_fn, fine_fn = model_fns(config, models, state)
     nc = int(sample_mult * config["render_coarse_sample_num"])
     nf = int(sample_mult * config["render_fine_sample_num"])
-    rgb, depth, acc = render_image(
-        key, width, height, focal, pose, config["render_near"],
-        config["render_far"], coarse_fn, fine_fn, nc, nf, chunk=chunk)
+    mesh = _eval_mesh()
+    if mesh is not None:
+        rgb, depth, acc = render_image_sharded(
+            key, width, height, focal, pose, config["render_near"],
+            config["render_far"], coarse_fn, fine_fn, nc, nf, mesh=mesh,
+            chunk=chunk)
+    else:
+        rgb, depth, acc = render_image(
+            key, width, height, focal, pose, config["render_near"],
+            config["render_far"], coarse_fn, fine_fn, nc, nf, chunk=chunk)
     return np.asarray(rgb), np.asarray(depth), np.asarray(acc)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 from dataclasses import dataclass
 from functools import partial
 
@@ -153,7 +154,18 @@ class FilmSirenNeRF:
                 and cfg.w0 == 30.0
                 and jax.default_backend() == "tpu"):
             return 0
-        return int(os.environ.get("MSRA_TPU_FUSED_FILM", "1"))
+        raw = os.environ.get("MSRA_TPU_FUSED_FILM", "1")
+        try:
+            mode = int(raw)
+        except ValueError:
+            warnings.warn(f"MSRA_TPU_FUSED_FILM={raw!r} is not an integer; "
+                          "using hybrid mode (1)")
+            return 1
+        if mode not in (0, 1, 2):
+            warnings.warn(f"MSRA_TPU_FUSED_FILM={mode} is outside 0-2; "
+                          "using hybrid mode (1)")
+            return 1
+        return mode
 
     def _apply_xla(self, params, x, film):
         cfg = self.cfg

@@ -263,17 +263,26 @@ def train(config) -> dict:
     if use_dp:
         dp_mesh = mesh_lib.make_mesh()
         state = mesh_lib.replicate(state, dp_mesh)
-        buf = mesh_lib.replicate(buf, dp_mesh)  # whole buffer on each chip
+        # Rays are the scale axis (SURVEY §2.4): shard the buffer rows over
+        # 'data' so per-chip HBM holds 1/N of it (the reference's full lego
+        # geometry is ~2.6 GB of rays).  Batches re-shard per step — a ~40 KB
+        # ICI gather, negligible next to the step.  Contents are identical
+        # to the replicated layout, so DP ≡ single-device still holds
+        # (tests/test_parallel.py).
+        buf = mesh_lib.shard_batch(buf, dp_mesh)
         batch_shard = mesh_lib.batch_sharding(dp_mesh)
         chunk_shard = mesh_lib.chunk_sharding(dp_mesh)
-        log_print(f"[parallel] data-parallel over {len(devices)} devices")
+        log_print(f"[parallel] data-parallel over {len(devices)} devices; "
+                  f"ray buffer sharded ({buf.nbytes / len(devices) / 2**20:.1f}"
+                  f" MiB/chip)")
 
     step_fn = make_train_step(coarse_model, fine_model, tx, config)
     # Multi-step dispatch: scan `steps_per_call` steps in one XLA program to
     # amortise the ~1.2 ms/dispatch tunnel cost.  Identical math; chunks
     # never cross cadence/epoch/startup boundaries, so prints, saves,
     # renders and reshuffles land on the exact same steps.
-    steps_per_call = int(config.get("steps_per_call", 1))
+    steps_per_call = int(config.get("steps_per_call",
+                                    NERF_TRAIN_DEFAULTS["steps_per_call"]))
     multi_fn = (make_train_multistep(coarse_model, fine_model, tx, config)
                 if steps_per_call > 1 else None)
     logger = MetricLogger(["loss", "psnr"])
@@ -293,6 +302,8 @@ def train(config) -> dict:
                 and (batch_idx + 1) * batch_size > n_rays):
             perm = jax.random.permutation(jax.random.fold_in(k, 1), n_rays)
             buf = buf[perm]
+            if use_dp:  # keep the permuted buffer row-sharded over chips
+                buf = mesh_lib.shard_batch(buf, dp_mesh)
             batch_idx = 0
 
         n_chunk = 1

@@ -125,6 +125,24 @@ def test_image_folder_prefetch_stream_identical(tmp_path):
     assert pre._worker is None  # close() joined the thread
 
 
+def test_image_folder_prefetch_worker_error_surfaces(tmp_path):
+    """A corrupt image must raise in get(), not hang the consumer on a dead
+    worker thread (ADVICE r2 medium)."""
+    import pytest
+
+    image_folder.make_synthetic_faces(str(tmp_path), n=4, size=8)
+    # corrupt one file so the worker's PIL decode raises
+    with open(tmp_path / "00002.png", "wb") as f:
+        f.write(b"not a png at all")
+    ds = image_folder.ImageFolder(str(tmp_path), batch_size=4,
+                                  preload=False, prefetch=True, seed=0)
+    try:
+        with pytest.raises(RuntimeError, match="prefetch worker failed"):
+            ds.get()
+    finally:
+        ds.close()
+
+
 def test_image_folder_resize(tmp_path):
     image_folder.make_synthetic_faces(str(tmp_path), n=4, size=64)
     ds = image_folder.ImageFolder(str(tmp_path), batch_size=2, resize=0.5)

@@ -191,7 +191,7 @@ def test_pose_prior_scatter(pigan_exp, tmp_path):
     assert os.path.exists(out)
 
 
-def test_pigan_synthesis_multistep_matches_single(pigan_exp):
+def test_pigan_synthesis_multistep_matches_single(pigan_exp, monkeypatch):
     """steps_per_call>1 (scan dispatch) must reproduce the single-step
     loss history exactly (same per-step RNG keys, same update order)."""
     import shutil
@@ -200,10 +200,10 @@ def test_pigan_synthesis_multistep_matches_single(pigan_exp):
     from msra_practice_project_tpu.train import synthesis
 
     cfg, log = pigan_exp
-    synthesis.RESOLUTION, synthesis.COARSE, synthesis.FINE = 8, 2, 2
-    synthesis.FINAL_RES = 8
-    synthesis.FINAL_COARSE = synthesis.FINAL_FINE = 2
-    synthesis.I_IMAGE, synthesis.I_SAVE = 1000, 1000
+    for name, val in (("RESOLUTION", 8), ("COARSE", 2), ("FINE", 2),
+                      ("FINAL_RES", 8), ("FINAL_COARSE", 2),
+                      ("FINAL_FINE", 2), ("I_IMAGE", 1000), ("I_SAVE", 1000)):
+        monkeypatch.setattr(synthesis, name, val)
     outs = {}
     for k in (1, 4):
         shutil.rmtree(log + "_syn", ignore_errors=True)  # fresh resume state

@@ -115,7 +115,9 @@ def test_dryrun_entry_forces_cpu_backend(tmp_path):
                           capture_output=True, text=True, timeout=560)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK (nerf)" in proc.stdout
+    assert "OK (nerf multi-step scan)" in proc.stdout
     assert "OK (pigan)" in proc.stdout
+    assert "OK (pigan stage switch)" in proc.stdout
     assert "OK (sharded render_image)" in proc.stdout
 
 

@@ -145,7 +145,8 @@ def test_train_nerf_multistep_matches_single(tmp_path):
                   start_up_itrs=3, render_coarse_sample_num=4,
                   render_fine_sample_num=4, i_print=7, i_save=14,
                   i_image=100, data_size=16)
-    cfg1 = _cfg(tmp_path, "nerf_s1", NERF_TRAIN_DEFAULTS, **common)
+    cfg1 = _cfg(tmp_path, "nerf_s1", NERF_TRAIN_DEFAULTS,
+                steps_per_call=1, **common)
     out1 = train_nerf.train(cfg1)
     cfg5 = _cfg(tmp_path, "nerf_s5", NERF_TRAIN_DEFAULTS,
                 steps_per_call=5, **common)
@@ -169,6 +170,36 @@ def test_train_nerf_sharded_batch(tmp_path):
                i_image=100, data_size=16)
     out = train_nerf.train(cfg)
     assert np.isfinite(out["log"]["loss"]).all()
+
+
+def test_train_nerf_dp_sharded_buffer_matches_replicated(tmp_path):
+    """The row-sharded DP ray buffer (each chip holds 1/N of the rays) must
+    reproduce the replicated-buffer run exactly: contents are identical,
+    only placement changes.  Covers >1 epoch so the sharded reshuffle path
+    executes too."""
+    import jax
+    from msra_practice_project_tpu.parallel import mesh as mesh_lib
+    from msra_practice_project_tpu.train import train_nerf
+
+    assert len(jax.devices()) == 8
+    common = dict(data_path="/nonexistent", iterations=10, batch_size=64,
+                  start_up_itrs=0, render_coarse_sample_num=4,
+                  render_fine_sample_num=4, i_print=100, i_save=100,
+                  i_image=100, data_size=8, steps_per_call=1)
+    cfg_dp = _cfg(tmp_path, "nerf_dp_shard", NERF_TRAIN_DEFAULTS, **common)
+    out_dp = train_nerf.train(cfg_dp)
+
+    # replicated-buffer control: monkeypatch shard_batch back to replicate
+    orig = mesh_lib.shard_batch
+    try:
+        mesh_lib.shard_batch = lambda x, mesh, axis="data": \
+            mesh_lib.replicate(x, mesh)
+        cfg_rep = _cfg(tmp_path, "nerf_dp_rep", NERF_TRAIN_DEFAULTS, **common)
+        out_rep = train_nerf.train(cfg_rep)
+    finally:
+        mesh_lib.shard_batch = orig
+    np.testing.assert_allclose(out_dp["log"]["loss"],
+                               out_rep["log"]["loss"], rtol=1e-5)
 
 
 # ---------------------------------------------------------------------------

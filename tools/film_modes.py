@@ -50,9 +50,9 @@ def main():
 
     modes = (sys.argv[3].split(",") if len(sys.argv) > 3
              else ["0", "1", "2"])
+    from msra_practice_project_tpu.ops.pallas import film_mlp
     print(f"batch {batch} @ {res}^2, 8+16 samples, "
-          f"tiles fwd={os.environ.get('FILM_MLP_FWD_TILE', '256')} "
-          f"bwd={os.environ.get('FILM_MLP_BWD_TILE', '256')}")
+          f"tiles fwd={film_mlp.FWD_TILE} bwd={film_mlp.BWD_TILE}")
     for mode in modes:
         os.environ["MSRA_TPU_FUSED_FILM"] = mode
         # fresh jit closures per mode (render_film's jit cache keys on the
