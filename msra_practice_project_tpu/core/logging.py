@@ -35,6 +35,15 @@ class MetricLogger:
         self._t0 = time.perf_counter()
         self._last = self._t0
 
+    def preload(self, data: dict, n: int | None = None):
+        """Seed history from a saved log (resume): keeps the first `n`
+        entries per key (all when n is None) so the merged log spans the
+        whole run, not just the post-resume segment."""
+        for k in self._data:
+            vs = [float(x) for x in data.get(k, [])]
+            self._data[k] = vs if n is None else vs[:n]
+            self._flushed[k] = len(self._data[k])
+
     def append(self, **kv):
         """One scalar per key (device scalar or python float)."""
         for k, v in kv.items():

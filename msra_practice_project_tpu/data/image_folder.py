@@ -174,14 +174,29 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
     for i in range(n):
         theta = rng.normal(0.0, 0.45)
         phi = rng.normal(0.0, 0.15)
-        radius = rng.uniform(0.5, 0.72)
+        # small spheres (the r2 flat blobs' sparsity, learnable within a
+        # few-k-iteration smoke gate) but with both 3D cues attached
+        radius = rng.uniform(0.25, 0.4)
         col = rng.uniform(0.25, 1.0, 3)
-        cx, cy = rng.uniform(-0.06, 0.06, 2)
+        # identity = a sphere at a small WORLD-space offset: its image
+        # position is the camera-frame projection, so it translates with
+        # yaw/pitch — a second pose-consistent cue besides shading
+        wx, wy, wz = rng.uniform(-0.3, 0.3, 3)
+        ct_, st_ = np.cos(theta), np.sin(theta)
+        cp_, sp_ = np.cos(phi), np.sin(phi)
+        cx = wx * ct_ - wz * st_
+        cy = wy * cp_ - (wx * st_ + wz * ct_) * sp_
         x, y = (u - cx) / radius, (v - cy) / radius
         rho2 = x**2 + y**2
-        inside = rho2 <= 1.0
+        # SOFT density (the r2 Gaussian-blob falloff — hard silhouettes are
+        # unlearnable for a low-sample NeRF generator in a smoke-gate
+        # budget; measured: hard spheres -> white-collapse by 2k iters)
+        alpha = np.exp(-rho2 / 2.0)
+        # sphere-cap normals, clamped smoothly outside the silhouette
         nz = np.sqrt(np.clip(1.0 - rho2, 0.0, 1.0))
         normals = np.stack([x, y, nz], axis=-1)
+        nn = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / np.maximum(nn, 1.0)
         # light direction in the camera frame: world light rotated by the
         # inverse camera rotation (yaw about +y, pitch about +x)
         ct, st = np.cos(theta), np.sin(theta)
@@ -190,8 +205,8 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
         rot_x = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
         l_cam = rot_x @ (rot_y @ light)
         shade = np.clip(normals @ l_cam, 0.0, 1.0)
-        img = np.where(inside[..., None],
-                       col * (0.25 + 0.75 * shade[..., None]), 0.9)
+        fg = col * (0.35 + 0.65 * shade[..., None])
+        img = alpha[..., None] * fg + (1 - alpha[..., None]) * 0.9
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(tmp_dir, f"{i:05d}.png"))
     return tmp_dir

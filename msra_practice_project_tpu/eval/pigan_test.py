@@ -59,16 +59,22 @@ def run(config, n: int = 8, resolution: int = 64):
     loss_log_path = os.path.join(log_path, "loss_log.npy")
     if os.path.exists(loss_log_path):
         loss_log = np.load(loss_log_path, allow_pickle=True).item()
-        plt.figure(figsize=(6, 4))
-        plt.plot(loss_log["d_loss"], label="d_loss", linewidth=0.8)
-        plt.plot(loss_log["g_loss"], label="g_loss", linewidth=0.8)
-        plt.xlabel("iteration")
-        plt.legend()
-        plt.tight_layout()
-        out = os.path.join(log_path, "loss_curves.png")
-        plt.savefig(out, dpi=150)
-        plt.close()
+        out = plot_loss_curves(loss_log,
+                               os.path.join(log_path, "loss_curves.png"))
         print("loss curves ->", out)
+
+
+def plot_loss_curves(loss_log: dict, out: str) -> str:
+    """g/d loss-vs-iteration plot (ref: pi_GAN/test.py:78-85)."""
+    plt.figure(figsize=(6, 4))
+    plt.plot(loss_log["d_loss"], label="d_loss", linewidth=0.8)
+    plt.plot(loss_log["g_loss"], label="g_loss", linewidth=0.8)
+    plt.xlabel("iteration")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(out, dpi=150)
+    plt.close()
+    return out
 
 
 def main(argv=None):

@@ -276,6 +276,32 @@ def train(config) -> dict:
                   f"ray buffer sharded ({buf.nbytes / len(devices) / 2**20:.1f}"
                   f" MiB/chip)")
 
+    # Exact resume (kill-anywhere semantics): the batch stream is a pure
+    # function of (seed, config, global_step) — epoch reshuffle keys derive
+    # from the boundary step — so on resume we replay the elapsed epoch
+    # permutations and restore the intra-epoch cursor.  The post-resume
+    # stream is then IDENTICAL to an uninterrupted run (tested in
+    # tests/test_train.py).  The reference restarts with a fresh shuffle
+    # (nerf/train_nerf.py:78-86) and loses stream continuity.
+    batch_idx = 0
+    epoch_len = n_rays // batch_size
+    if global_step > config["start_up_itrs"] and epoch_len > 0:
+        done = global_step - config["start_up_itrs"]
+        n_epochs = done // epoch_len
+        if n_epochs > 0:
+            idx = jnp.arange(n_rays)
+            for e in range(1, n_epochs + 1):
+                g = config["start_up_itrs"] + e * epoch_len
+                k_e = jax.random.fold_in(
+                    jax.random.fold_in(k_steps, g + 1), 1)
+                idx = idx[jax.random.permutation(k_e, n_rays)]
+            buf = buf[idx]
+            if use_dp:
+                buf = mesh_lib.shard_batch(buf, dp_mesh)
+        batch_idx = done % epoch_len
+        log_print(f"[resume] replayed {n_epochs} epoch permutations, "
+                  f"batch cursor {batch_idx}/{epoch_len}")
+
     step_fn = make_train_step(coarse_model, fine_model, tx, config)
     # Multi-step dispatch: scan `steps_per_call` steps in one XLA program to
     # amortise the ~1.2 ms/dispatch tunnel cost.  Identical math; chunks
@@ -286,11 +312,16 @@ def train(config) -> dict:
     multi_fn = (make_train_multistep(coarse_model, fine_model, tx, config)
                 if steps_per_call > 1 else None)
     logger = MetricLogger(["loss", "psnr"])
+    if global_step > 0:
+        log_file = os.path.join(log_path, "log.npy")
+        if os.path.exists(log_file):
+            # seed with the pre-kill history (truncated to the restored
+            # step) so the final log.npy spans the whole run
+            logger.preload(MetricLogger.load(log_file), global_step)
 
     def dist_to(step, every):
         return every - (step % every)
 
-    batch_idx = 0
     iterations = config["iterations"]
     while global_step < iterations:
         profiler.tick(global_step + 1)
@@ -352,6 +383,7 @@ def train(config) -> dict:
                       f"Loss: {float(m['loss'])} PSNR: {float(m['psnr'])}")
         if global_step % config["i_save"] == 0:
             p = ckpt_lib.save(log_path, global_step, state)
+            logger.save(log_path)  # log survives a kill alongside the ckpt
             log_print(f"Saved checkpoints at {p}")
         if global_step % config["i_image"] == 0:
             frame = render_eval_image(config, coarse_model, fine_model,

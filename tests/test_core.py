@@ -267,6 +267,9 @@ def test_lpips_torch_checkpoint_roundtrip(tmp_path):
     v = M.lpips(img, img, str(tmp_path))
     assert v is not None and v < 1e-6
     assert M.lpips(img, img, None) is None
+    # provenance label flips to real LPIPS when a weights dir is supplied
+    _, label = M.perceptual_distance(img, img, str(tmp_path))
+    assert label == "lpips-alex"
 
 
 def test_lpips_forward_parity_torch_oracle(tmp_path):

@@ -172,6 +172,40 @@ def test_train_nerf_sharded_batch(tmp_path):
     assert np.isfinite(out["log"]["loss"]).all()
 
 
+def test_train_nerf_exact_resume_matches_uninterrupted(tmp_path):
+    """Kill + resume must reproduce the uninterrupted run EXACTLY: the batch
+    stream is a pure function of (seed, config, global_step) — epoch
+    permutations are replayed on resume and the intra-epoch cursor is
+    restored.  Spans the startup phase and epoch boundaries on both sides
+    of the kill."""
+    from msra_practice_project_tpu.train import train_nerf
+
+    # data_size=8 -> 3 imgs x 64 rays = 192 rays; batch 64 -> epoch_len 3;
+    # boundaries at steps 6 (pre-kill), 9 and 12 (post-resume)
+    common = dict(data_path="/nonexistent", iterations=14, batch_size=64,
+                  start_up_itrs=3, render_coarse_sample_num=4,
+                  render_fine_sample_num=4, i_print=100,
+                  i_image=100, data_size=8)
+    cfg_full = _cfg(tmp_path, "nerf_full", NERF_TRAIN_DEFAULTS,
+                    i_save=14, **common)
+    out_full = train_nerf.train(cfg_full)
+
+    cfg_a = _cfg(tmp_path, "nerf_kill", NERF_TRAIN_DEFAULTS,
+                 i_save=8, **{**common, "iterations": 8})
+    train_nerf.train(cfg_a)  # "killed" at step 8 (ckpt + log.npy on disk)
+    cfg_b = _cfg(tmp_path, "nerf_kill", NERF_TRAIN_DEFAULTS,
+                 i_save=8, **common)
+    out_res = train_nerf.train(cfg_b)  # resumes from 8, runs to 14
+
+    np.testing.assert_allclose(out_full["log"]["loss"],
+                               out_res["log"]["loss"], rtol=1e-6)
+    w_full = np.asarray(
+        out_full["state"]["params"]["coarse"]["layers_pos"][0]["w"])
+    w_res = np.asarray(
+        out_res["state"]["params"]["coarse"]["layers_pos"][0]["w"])
+    np.testing.assert_allclose(w_full, w_res, rtol=1e-6, atol=1e-7)
+
+
 def test_train_nerf_dp_sharded_buffer_matches_replicated(tmp_path):
     """The row-sharded DP ray buffer (each chip holds 1/N of the rays) must
     reproduce the replicated-buffer run exactly: contents are identical,

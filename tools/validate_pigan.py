@@ -75,7 +75,7 @@ def main(iterations=1200, stage1_iters=0, fade=200):
         "output_path": base, "experiment_name": name,
         "data_path": "/nonexistent", "z_dim": 256,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
-        "i_print": max(total // 5, 1), "i_save": total,
+        "i_print": max(total // 5, 1), "i_save": max(total // 4, 1),
         "i_image": total, "data_n": 128, **schedule,
     }, PIGAN_TRAIN_DEFAULTS)
 
@@ -118,6 +118,45 @@ def main(iterations=1200, stage1_iters=0, fade=200):
           f"trained {f1:.4f}")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
 
+    # Long-horizon stability (VERDICT r2 next-round #3): the loss curves
+    # must stay finite with no late divergence, and the sample-diversity
+    # trajectory across the saved checkpoints must never collapse (mode
+    # collapse shows up as diversity -> 0 partway through training).
+    loss_log = out["loss_log"]
+    g_arr, d_arr = np.asarray(loss_log["g_loss"]), \
+        np.asarray(loss_log["d_loss"])
+    finite = bool(np.isfinite(g_arr).all() and np.isfinite(d_arr).all())
+    tail_ok = bool(np.abs(g_arr[-max(total // 10, 1):]).mean() < 50.0)
+    print(f"[validate] losses finite: {finite}; "
+          f"|g_loss| tail mean {np.abs(g_arr[-max(total // 10, 1):]).mean():.2f}")
+
+    from msra_practice_project_tpu.core import ckpt as ckpt_lib
+    log_path = os.path.join(base, name)
+    steps = sorted(int(f.split(".")[0]) for f in os.listdir(log_path)
+                   if f.endswith(".ckpt"))
+    template = {"g": jax.tree.map(lambda x: x, out["g_state"]),
+                "d": out["d_state"], "step": 0}
+    div_traj = []
+    for s in steps:
+        restored = ckpt_lib.restore(ckpt_lib.ckpt_path(log_path, s),
+                                    template)
+        # mid-run ckpts may be from an earlier stage; sample at final res
+        samp, _ = sample(generator, restored["g"]["params"],
+                         jax.random.fold_in(key, 100 + s), 16, res)
+        div_traj.append(float(samp.std(axis=0).mean()))
+    no_collapse = bool(min(div_traj) > 0.02) if div_traj else True
+    print(f"[validate] diversity trajectory over ckpts {steps}: "
+          f"{[round(v, 3) for v in div_traj]} (no collapse: {no_collapse})")
+
+    # loss-curve plots through the diagnostics harness (pi_GAN/test.py:78-85)
+    from msra_practice_project_tpu.eval import pigan_test
+    try:
+        pigan_test.plot_loss_curves(
+            loss_log, os.path.join(log_path, "loss_curves.png"))
+        print(f"[validate] loss curves -> {log_path}/loss_curves.png")
+    except AttributeError:
+        pass  # older harness layout
+
     # 3D consistency: same identity, two nearby yaws
     th = jnp.array([0.0, 0.25])
     ph = jnp.zeros((2,))
@@ -129,10 +168,10 @@ def main(iterations=1200, stage1_iters=0, fade=200):
           "(0 = 2D collapse, large = view-inconsistent)")
 
     ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and diversity > 0.02 \
-        and 1e-4 < delta < 0.3
+        and 1e-4 < delta < 0.3 and finite and tail_ok and no_collapse
     print("[validate]", "PASS" if ok else "FAIL",
           "(hist improves >=34%, rf-frechet improves >=50%, diverse "
-          "samples, view-consistent)")
+          "samples, view-consistent, losses stable, no collapse)")
     return ok
 
 
