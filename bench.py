@@ -70,11 +70,11 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
     kb = jax.random.fold_in(key, 2)
     batches = jnp.stack(
         [_make_batch(jax.random.fold_in(kb, i), batch) for i in range(chunk)])
-    keys = jax.random.split(jax.random.fold_in(key, 3), chunk)
+    base_key = jax.random.fold_in(key, 3)
 
     multi_fn = make_train_multistep(model, model, tx, cfg)
     for i in range(2):
-        state, ms = multi_fn(state, batches, keys)
+        state, ms = multi_fn(state, batches, base_key, 0)
     np.asarray(ms["loss"])  # sync (block_until_ready unreliable on axon)
     n_calls = max(BENCH_STEPS // chunk, 3)
     # Best of 3 timed blocks: the tunnel transiently reads ~35% low under
@@ -83,7 +83,7 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
     for rep in range(3):
         t0 = time.perf_counter()
         for i in range(n_calls):
-            state, ms = multi_fn(state, batches, keys)
+            state, ms = multi_fn(state, batches, base_key, 0)
         np.asarray(ms["loss"])  # sync
         best_dt = min(best_dt, time.perf_counter() - t0)
     steps_per_sec = n_calls * chunk / best_dt
@@ -91,12 +91,13 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
     if report_single:
         step_fn = make_train_step(model, model, tx, cfg)
         b0 = batches[0]
+        k0 = jax.random.fold_in(base_key, 0)
         for i in range(WARMUP_STEPS):
-            state1, m = step_fn(state, b0, keys[0])
+            state1, m = step_fn(state, b0, k0)
         np.asarray(m["loss"])
         t0 = time.perf_counter()
         for i in range(BENCH_STEPS):
-            state1, m = step_fn(state, b0, keys[0])
+            state1, m = step_fn(state, b0, k0)
         np.asarray(m["loss"])
         single = batch * BENCH_STEPS / (time.perf_counter() - t0)
         print(f"[bench] nerf train single-dispatch: {single:,.0f} rays/s "

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -72,12 +73,16 @@ def make_syn_step(generator, discriminator, g_params, d_params, target, tx):
             "step": state["step"] + 1,
         }, {"loss": loss, **aux}
 
-    @jax.jit
-    def multi_step(state, keys):
-        """K steps in ONE dispatch (lax.scan over per-step keys) — identical
-        math to K step() calls; amortises the ~1.2 ms/dispatch tunnel cost
-        (the 1-sample synthesis step is only ~a few ms of compute)."""
-        return jax.lax.scan(step, state, keys)
+    @partial(jax.jit, static_argnums=(3,))
+    def multi_step(state, base_key, start_step, n_steps):
+        """K steps in ONE dispatch (lax.scan) — identical math to K step()
+        calls; amortises the ~1.2 ms/dispatch tunnel cost (the 1-sample
+        synthesis step is only ~a few ms of compute).  Keys derive INSIDE
+        the scan (fold_in(base_key, start_step+1+i), the single-step
+        stream) — host-side key building cost ~1 dispatch/step (r3)."""
+        def body(st, i):
+            return step(st, jax.random.fold_in(base_key, start_step + 1 + i))
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
 
     return step, multi_step
 
@@ -131,10 +136,7 @@ def synthesize(config, target_path: str | None = None) -> dict:
             dist_to(global_step, I_IMAGE),
         )
         if n_chunk > 1:
-            keys = jnp.stack(
-                [jax.random.fold_in(key, global_step + 1 + i)
-                 for i in range(n_chunk)])
-            syn_state, ms = multi_fn(syn_state, keys)
+            syn_state, ms = multi_fn(syn_state, key, global_step, n_chunk)
             loss_log.append(ms["loss"])  # [K] vector; flattened at flush
         else:
             syn_state, m = step_fn(syn_state,

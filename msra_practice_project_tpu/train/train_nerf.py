@@ -152,22 +152,28 @@ def make_train_step(coarse_model, fine_model, tx, cfg):
 
 
 def make_train_multistep(coarse_model, fine_model, tx, cfg):
-    """Returns a jitted multi(state, batches [K,B,10], keys [K,2]) that runs
-    K train steps in ONE dispatch via lax.scan.
+    """Returns a jitted multi(state, batches [K,B,10], base_key, start_step)
+    that runs K train steps in ONE dispatch via lax.scan.
 
     The axon tunnel costs ~1.2 ms per dispatch (BASELINE.md); scanning K
-    steps amortises it to ~1.2/K ms.  Identical math to K make_train_step
-    calls — the data pipeline is already device-resident, so the host adds
-    nothing per step.  K is a runtime leading dim, one compile per K.
+    steps amortises it to ~1.2/K ms.  Per-step RNG keys are derived INSIDE
+    the scan — fold_in(fold_in(base_key, start_step+1+i), 2), the exact
+    stream the single-step path uses — because building them host-side cost
+    ~2 dispatches per step and halved the production step rate vs bench
+    (soak measurement, r3).  Identical math to K make_train_step calls.
+    K is a runtime leading dim, one compile per K.
     """
     step = _make_step_impl(coarse_model, fine_model, tx, cfg)
 
     @jax.jit
-    def multi(state, batches, keys):
-        def body(st, bk):
-            batch, key = bk
-            return step(st, batch, key)
-        return jax.lax.scan(body, state, (batches, keys))
+    def multi(state, batches, base_key, start_step):
+        def body(st, ib):
+            i, batch = ib
+            k = jax.random.fold_in(
+                jax.random.fold_in(base_key, start_step + 1 + i), 2)
+            return step(st, batch, k)
+        n = batches.shape[0]
+        return jax.lax.scan(body, state, (jnp.arange(n), batches))
 
     return multi
 
@@ -353,15 +359,12 @@ def train(config) -> dict:
             batches = jax.lax.dynamic_slice_in_dim(
                 buf, lo, n_chunk * batch_size).reshape(
                     n_chunk, batch_size, buf.shape[-1])
-            keys = jnp.stack([
-                jax.random.fold_in(jax.random.fold_in(k_steps,
-                                                      global_step + 1 + i), 2)
-                for i in range(n_chunk)])
             if use_dp:
                 batches = jax.device_put(batches, chunk_shard)
+            start_step = global_step
             batch_idx += n_chunk
             global_step += n_chunk
-            state, ms = multi_fn(state, batches, keys)
+            state, ms = multi_fn(state, batches, k_steps, start_step)
             logger.append_vec(loss=ms["loss"], psnr=ms["psnr"])
             m = {key_: v[-1] for key_, v in ms.items()}
         else:
@@ -379,8 +382,10 @@ def train(config) -> dict:
             logger.append(loss=m["loss"], psnr=m["psnr"])
 
         if global_step % config["i_print"] == 0:
+            rate = config["i_print"] / max(logger.step_time(), 1e-9)
             log_print(f"[Train] Iter: {global_step} "
-                      f"Loss: {float(m['loss'])} PSNR: {float(m['psnr'])}")
+                      f"Loss: {float(m['loss'])} PSNR: {float(m['psnr'])} "
+                      f"({rate:.1f} steps/s)")
         if global_step % config["i_save"] == 0:
             p = ckpt_lib.save(log_path, global_step, state)
             logger.save(log_path)  # log survives a kill alongside the ckpt
