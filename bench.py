@@ -89,6 +89,28 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
     steps_per_sec = n_calls * chunk / best_dt
 
     if report_single:
+        # Steady-state device rate: one long scanned dispatch (30 steps per
+        # call) so tunnel dispatch/sync is amortised to ~nothing — this is
+        # the in-process rate a production run sustains between host syncs
+        # (BASELINE.md round-3 addendum measures 9.36 ms/step = ~109k).
+        long_chunk = 30
+        kb2 = jax.random.fold_in(key, 4)
+        long_batches = jnp.stack(
+            [_make_batch(jax.random.fold_in(kb2, i), batch)
+             for i in range(long_chunk)])
+        long_fn = multi_fn  # K is a runtime leading dim; same callable
+        state2, ms2 = long_fn(state, long_batches, base_key, 0)
+        np.asarray(ms2["loss"])
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            state2, ms2 = long_fn(state2, long_batches, base_key, 0)
+            np.asarray(ms2["loss"])
+            best = min(best, time.perf_counter() - t0)
+        steady = batch * long_chunk / best
+        print(f"[bench] nerf train steady-state (30-step dispatch): "
+              f"{steady:,.0f} rays/s", file=sys.stderr)
+
         step_fn = make_train_step(model, model, tx, cfg)
         b0 = batches[0]
         k0 = jax.random.fold_in(base_key, 0)

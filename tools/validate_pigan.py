@@ -47,27 +47,31 @@ def sample(generator, g_params, key, n, res):
         resolution=res)), film
 
 
-def main(iterations=1200, stage1_iters=0, fade=200):
+def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
+         resume=False):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
     `stage1_iters` at 64^2 with a `fade`-iteration fade-in.  Gates are
-    checked on the FINAL stage's resolution, i.e. after the switch."""
+    checked on the FINAL stage's resolution, i.e. after the switch.
+    `batch0` is the stage-0 batch size (the reference trains stage 0 at
+    batch 64, pi_GAN/configs/test.json); stage 1 stays at 16."""
     two_stage = stage1_iters > 0
     base = "/tmp/pigan_validate"
     name = "exp2" if two_stage else "exp"
-    import shutil
-    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    if not resume:
+        import shutil
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     if two_stage:
         schedule = {
             "iterations": [iterations, iterations + stage1_iters],
             "fade_in_itrs": [0, fade],
-            "batch_size": [16, 16], "resolution": [32, 64],
+            "batch_size": [batch0, 16], "resolution": [32, 64],
         }
     else:
         schedule = {
             "iterations": [iterations], "fade_in_itrs": [0],
-            "batch_size": [16], "resolution": [32],
+            "batch_size": [batch0], "resolution": [32],
         }
     total = schedule["iterations"][-1]
     res = schedule["resolution"][-1]
@@ -76,7 +80,7 @@ def main(iterations=1200, stage1_iters=0, fade=200):
         "data_path": "/nonexistent", "z_dim": 256,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
         "i_print": max(total // 5, 1), "i_save": max(total // 4, 1),
-        "i_image": total, "data_n": 128, **schedule,
+        "i_image": total, "data_n": data_n, **schedule,
     }, PIGAN_TRAIN_DEFAULTS)
 
     # untrained reference point
@@ -176,7 +180,12 @@ def main(iterations=1200, stage1_iters=0, fade=200):
 
 
 if __name__ == "__main__":
-    its = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
-    s1 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    fade = int(sys.argv[3]) if len(sys.argv) > 3 else 200
-    main(its, s1, fade)
+    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    its = int(argv[0]) if len(argv) > 0 else 1200
+    s1 = int(argv[1]) if len(argv) > 1 else 0
+    fade = int(argv[2]) if len(argv) > 2 else 200
+    batch0 = int(argv[3]) if len(argv) > 3 else 16
+    data_n = int(argv[4]) if len(argv) > 4 else 128
+    ok = main(its, s1, fade, batch0, data_n, resume)
+    sys.exit(0 if ok else 1)
