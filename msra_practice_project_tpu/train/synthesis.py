@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
-from ..core import image_io
+from ..core import diagnostics, image_io
 from ..core import logging as logging_lib
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir
 from ..eval.pigan_demo import demo_multiview, demo_video, load_generator
@@ -128,7 +128,9 @@ def synthesize(config, target_path: str | None = None) -> dict:
     def dist_to(step, every):
         return every - (step % every)
 
+    watchdog = diagnostics.watchdog_from_config(config, syn_log_path)
     while global_step < iterations:
+        watchdog.beat(f"step {global_step}")
         n_chunk = min(
             steps_per_call, iterations - global_step,
             dist_to(global_step, I_PRINT),
@@ -156,6 +158,7 @@ def synthesize(config, target_path: str | None = None) -> dict:
                            poses, film=syn_state["params"][None],
                            resolution=RESOLUTION)
 
+    watchdog.stop()
     loss_log[:] = logging_lib.flush_scalar_list(loss_log)
     # Final 128^2 multiview + orbit GIF (ref: synthesis.py:131-139).
     film = syn_state["params"][None]

@@ -86,6 +86,7 @@ def train(config) -> dict:
     diagnostics.enable_from_config(config)
     profiler = diagnostics.StepProfiler(log_path,
                                         config.get("profile_steps", 0))
+    watchdog = diagnostics.watchdog_from_config(config, log_path)
 
     # Data: reference hardcodes ./data/image/cameraman.jpg
     # (siren/train_img.py:32); we honour an optional data_path key and fall
@@ -121,6 +122,7 @@ def train(config) -> dict:
 
     while global_step < iterations:
         profiler.tick(global_step + 1)
+        watchdog.beat(f"step {global_step}")
         n_chunk = min(
             steps_per_call, iterations - global_step,
             dist_to(global_step, config.i_print),
@@ -159,6 +161,7 @@ def train(config) -> dict:
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
+    watchdog.stop()
     profiler.stop()
     logger.save(log_path)
     return {"state": state, "log": logger.data, "model": model,

@@ -226,6 +226,7 @@ def train(config) -> dict:
     diagnostics.enable_from_config(config)
     profiler = diagnostics.StepProfiler(log_path,
                                         config.get("profile_steps", 0))
+    watchdog = diagnostics.watchdog_from_config(config, log_path)
 
     images, poses, width, height, focal, train_idx = load_dataset(config)
     if config.get("data_show_distribution", False):
@@ -331,6 +332,7 @@ def train(config) -> dict:
     iterations = config["iterations"]
     while global_step < iterations:
         profiler.tick(global_step + 1)
+        watchdog.beat(f"step {global_step}")
         k = jax.random.fold_in(k_steps, global_step + 1)
 
         # Epoch boundary: real reshuffle (fixes the reference's
@@ -397,6 +399,7 @@ def train(config) -> dict:
             image_io.imwrite(
                 os.path.join(log_path, f"{global_step:06d}.png"), frame)
 
+    watchdog.stop()
     profiler.stop()
     logger.save(log_path)
     return {"state": state, "log": logger.data, "models":

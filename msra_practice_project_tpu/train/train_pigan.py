@@ -140,6 +140,7 @@ def train(config) -> dict:
     diagnostics.enable_from_config(config)
     profiler = diagnostics.StepProfiler(log_path,
                                         config.get("profile_steps", 0))
+    watchdog = diagnostics.watchdog_from_config(config, log_path)
 
     iterations = [0] + list(config.iterations)
     fade_in_itrs = list(config.fade_in_itrs)
@@ -226,6 +227,7 @@ def train(config) -> dict:
     m_g = {"g_loss": jnp.nan}
     for global_step in range(global_step + 1, iterations[-1] + 1):
         profiler.tick(global_step)
+        watchdog.beat(f"step {global_step}")
         epoch_idx, batch_idx, real = dataset.get()
         real = jnp.transpose(real, (0, 3, 1, 2))  # NHWC -> NCHW
 
@@ -290,6 +292,7 @@ def train(config) -> dict:
                 os.path.join(log_path, f"{global_step:06d}.png"),
                 resolution=res_now)
 
+    watchdog.stop()
     profiler.stop()
     _flush_loss_log(loss_log)
     np.save(os.path.join(log_path, "loss_log.npy"), loss_log)

@@ -129,6 +129,7 @@ def train(config) -> dict:
     diagnostics.enable_from_config(config)
     profiler = diagnostics.StepProfiler(log_path,
                                         config.get("profile_steps", 0))
+    watchdog = diagnostics.watchdog_from_config(config, log_path)
 
     data_path = config.get("data_path", "")
     if data_path and os.path.exists(data_path):
@@ -171,6 +172,7 @@ def train(config) -> dict:
 
     while global_step < iterations:
         profiler.tick(global_step + 1)
+        watchdog.beat(f"step {global_step}")
         # Chunks never cross cadence or epoch-reshuffle boundaries, so
         # prints, meshes, saves and reshuffles land on the exact same steps.
         n_chunk = min(
@@ -217,6 +219,7 @@ def train(config) -> dict:
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
+    watchdog.stop()  # before the long host-side final mesh extraction
     profiler.stop()
     logger.save(log_path)
     # Final high-res mesh (ref: siren/train_sdf.py:101, N=512).
