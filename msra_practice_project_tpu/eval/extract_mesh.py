@@ -36,7 +36,8 @@ def _sigma_slice(trunk_params, film, x_coord, *, trunk_apply, n: int):
     return -raw[0, :, 3].reshape(n, n)     # negated sigma = pseudo-SDF
 
 
-def extract_mesh(generator, g_params, key, filename: str, n: int = 256):
+def extract_mesh(generator, g_params, key, filename: str, n: int = 256,
+                 level: float = LEVEL):
     film = generator.get_mapping(
         g_params, jax.random.normal(key, (1, generator.cfg.z_dim)))
     xs = np.linspace(-BOUND, BOUND, n)
@@ -47,14 +48,14 @@ def extract_mesh(generator, g_params, key, filename: str, n: int = 256):
             trunk_apply=generator.trunk.apply, n=n))
     voxel_size = 2 * BOUND / (n - 1)
     verts, faces = mesh_lib.extract_mesh_from_grid(
-        values, LEVEL, (-BOUND,) * 3, voxel_size, filename + ".ply")
+        values, level, (-BOUND,) * 3, voxel_size, filename + ".ply")
     if verts.shape[0] == 0:
-        # values holds -sigma; an isosurface at LEVEL=-20 needs sigma to
+        # values holds -sigma; an isosurface at level=-20 needs sigma to
         # cross 20 inside the +-BOUND cube (true for the reference's fully
         # trained face models, not for short smoke runs with diffuse fields).
         print(f"[extract_mesh] empty isosurface: sigma in "
               f"[{-values.max():.2f}, {-values.min():.2f}] never crosses "
-              f"{-LEVEL:.0f} inside the +-{BOUND} cube (under-trained "
+              f"{-level:.0f} inside the +-{BOUND} cube (under-trained "
               f"generator?)")
     return verts, faces
 
@@ -63,10 +64,15 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     config = common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS)
     n = int(argv[1]) if len(argv) > 1 else 256
+    # Optional marching level (on -sigma).  The reference hardcodes -20
+    # (pi_GAN/utils.py:135-137), calibrated for its fully-converged face
+    # models; softer fields need a level inside their actual sigma range
+    # (the empty-isosurface diagnostic prints that range).
+    level = float(argv[2]) if len(argv) > 2 else LEVEL
     generator, _, state, step = load_generator(config)
     out = os.path.join(log_dir(config), f"mesh_{step:06d}")
     verts, faces = extract_mesh(generator, state["g"]["params"],
-                                jax.random.PRNGKey(7), out, n=n)
+                                jax.random.PRNGKey(7), out, n=n, level=level)
     print(f"mesh: {verts.shape[0]} verts, {faces.shape[0]} faces -> "
           f"{out}.ply")
 

@@ -66,6 +66,10 @@ def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
         "output_path": BASE, "experiment_name": exp,
         "data_path": data_dir, "data_resize": 1.0, "data_skip": 1,
         "iterations": iterations,
+        # Hang detection for the hours-long run: a wedged tunnel dispatch
+        # exits 17 after 15 min of silence instead of stalling forever
+        # (core/diagnostics.Watchdog; restart via tools/supervise.py).
+        "watchdog_timeout": 900,
         # everything else = NERF_TRAIN_DEFAULTS: batch 1024, 64+128 samples,
         # lr 5e-4 decay 500, start_up 500, i_print 100, i_save 10000,
         # i_image 1000, steps_per_call 10

@@ -80,7 +80,10 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         "data_path": "/nonexistent", "z_dim": 256,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
         "i_print": max(total // 5, 1), "i_save": max(total // 4, 1),
-        "i_image": total, "data_n": data_n, **schedule,
+        "i_image": total, "data_n": data_n,
+        # long-horizon runs hit real tunnel wedges (BASELINE 30k row):
+        # stall > 15 min -> exit 17; restart with --resume (or supervise.py)
+        "watchdog_timeout": 900, **schedule,
     }, PIGAN_TRAIN_DEFAULTS)
 
     # untrained reference point
