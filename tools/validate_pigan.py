@@ -79,26 +79,37 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         "output_path": base, "experiment_name": name,
         "data_path": "/nonexistent", "z_dim": 256,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
-        "i_print": max(total // 5, 1), "i_save": max(total // 4, 1),
+        # i_save divides the watchdog-restart replay loss (a wedge costs at
+        # most total/10 steps of recompute, ~140 MB per ckpt)
+        "i_print": max(total // 5, 1), "i_save": max(total // 10, 1),
         "i_image": total, "data_n": data_n,
         # long-horizon runs hit real tunnel wedges (BASELINE 30k row):
         # stall > 15 min -> exit 17; restart with --resume (or supervise.py)
         "watchdog_timeout": 900, **schedule,
     }, PIGAN_TRAIN_DEFAULTS)
 
+    # Device phases OUTSIDE train() (backend init, the untrained baseline
+    # sample, post-train eval) get their own watchdog: a tunnel wedge here
+    # exits 17 and the supervisor restart resumes straight past completed
+    # training (observed in practice — a wedge hit exactly this phase).
+    from msra_practice_project_tpu.core.diagnostics import Watchdog
+
     # untrained reference point
     from msra_practice_project_tpu.models import pigan
     gen_cfg = pigan.GeneratorConfig(
         z_dim=256, resolution=res, near=cfg.render_near, far=cfg.render_far,
         coarse_samples=8, fine_samples=16)
+    dog = Watchdog(900.0)
     g0 = pigan.Generator(gen_cfg)
     p0 = g0.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
     samples0, _ = sample(g0, p0, key, 32, res)
+    dog.stop()
 
-    out = train_pigan.train(cfg)
+    out = train_pigan.train(cfg)   # train loop runs its own watchdog
     generator = out["generator"]
     g_params = out["g_state"]["params"]
+    dog = Watchdog(900.0)
     samples1, film = sample(generator, g_params, key, 32, res)
 
     # dataset histogram at the final-stage resolution
@@ -145,6 +156,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
                 "d": out["d_state"], "step": 0}
     div_traj = []
     for s in steps:
+        dog.beat(f"ckpt {s}")
         restored = ckpt_lib.restore(ckpt_lib.ckpt_path(log_path, s),
                                     template)
         # mid-run ckpts may be from an earlier stage; sample at final res
@@ -171,6 +183,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         g_params, jax.random.fold_in(key, 9), film[:1].repeat(2, 0), th, ph,
         resolution=res))
     delta = np.abs(pair[0] - pair[1]).mean()
+    dog.stop()
     print(f"[validate] yaw-shift mean pixel delta: {delta:.4f} "
           "(0 = 2D collapse, large = view-inconsistent)")
 
