@@ -128,6 +128,14 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     real_np = np.asarray(real)
     f0 = feature_distance(samples0, real_np)
     f1 = feature_distance(samples1, real_np)
+    # Per-image spatial structure: std over (H, W) within each sample,
+    # averaged over batch+channels.  Catches the flat-field collapse the
+    # 30k batch-64 run exhibited — per-sample flat colour fields keep
+    # cross-sample diversity AND shrink the colour-histogram/Fréchet
+    # distances, so none of the other gates fire on it.
+    spatial_real = float(real_np.std(axis=(1, 2)).mean())
+    spatial0 = float(samples0.std(axis=(1, 2)).mean())
+    spatial1 = float(samples1.std(axis=(1, 2)).mean())
     stage_txt = (f"two-stage 32^2 -> fade {fade} -> 64^2"
                  if two_stage else "single stage 32^2")
     print(f"[validate] schedule: {stage_txt}; gates at {res}^2")
@@ -135,6 +143,9 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     print(f"[validate] feature (rf-frechet) untrained {f0:.4f} -> "
           f"trained {f1:.4f}")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
+    print(f"[validate] within-image spatial std: real {spatial_real:.4f}, "
+          f"untrained {spatial0:.4f} -> trained {spatial1:.4f} "
+          "(flat-field collapse if << real)")
 
     # Long-horizon stability (VERDICT r2 next-round #3): the loss curves
     # must stay finite with no late divergence, and the sample-diversity
@@ -187,11 +198,14 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     print(f"[validate] yaw-shift mean pixel delta: {delta:.4f} "
           "(0 = 2D collapse, large = view-inconsistent)")
 
+    spatial_ok = spatial1 > 0.4 * spatial_real
     ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and diversity > 0.02 \
-        and 1e-4 < delta < 0.3 and finite and tail_ok and no_collapse
+        and 1e-4 < delta < 0.3 and finite and tail_ok and no_collapse \
+        and spatial_ok
     print("[validate]", "PASS" if ok else "FAIL",
           "(hist improves >=34%, rf-frechet improves >=50%, diverse "
-          "samples, view-consistent, losses stable, no collapse)")
+          "samples, spatial structure >=40% of real, view-consistent, "
+          "losses stable, no collapse)")
     return ok
 
 
