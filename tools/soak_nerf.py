@@ -43,9 +43,9 @@ def sh(args, **kw):
 
 
 def latest_ckpt_step(log_dir):
-    steps = [int(f.split(".")[0]) for f in os.listdir(log_dir)
-             if f.endswith(".ckpt")] if os.path.isdir(log_dir) else []
-    return max(steps) if steps else 0
+    from msra_practice_project_tpu.core import ckpt as ckpt_lib
+    last = ckpt_lib.latest(log_dir)
+    return last[0] if last else 0
 
 
 def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
@@ -84,6 +84,10 @@ def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
     kill_step = int(kill_frac * iterations)
 
     # Phase A: run until the first ckpt >= kill_step, then SIGKILL mid-epoch.
+    # A watchdog exit (17 = wedged tunnel) is NOT a failure: relaunch after
+    # the recovery cooldown and let ckpt auto-resume continue the phase.
+    from tools.supervise import WATCHDOG_EXIT, supervise
+
     print(f"[soak] phase A: training until ckpt >= {kill_step}, then KILL")
     t_a = time.time()
     proc = subprocess.Popen(cli, cwd=REPO)
@@ -91,6 +95,12 @@ def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
         while True:
             time.sleep(10)
             if proc.poll() is not None:
+                if proc.returncode == WATCHDOG_EXIT:
+                    print("[soak] phase A watchdog stall; restarting in "
+                          "180s", flush=True)
+                    time.sleep(180)
+                    proc = subprocess.Popen(cli, cwd=REPO)
+                    continue
                 raise RuntimeError(f"phase A exited early rc={proc.returncode}")
             if latest_ckpt_step(log_dir) >= kill_step:
                 time.sleep(20)  # land mid-epoch, well past the save
@@ -103,13 +113,17 @@ def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
     wall_a = time.time() - t_a
     print(f"[soak] phase A killed after {wall_a:.0f}s at ckpt {resume_step}")
 
-    # Phase B: relaunch; must resume and run to completion.
-    print("[soak] phase B: resume to completion")
+    # Phase B: relaunch; must resume and run to completion.  Driven through
+    # the supervisor so mid-run watchdog exits restart onto ckpt auto-resume
+    # instead of aborting the soak.
+    print("[soak] phase B: resume to completion (supervised)")
     t_b = time.time()
-    r = sh(cli)
+    print("[soak] $", " ".join(cli), flush=True)
+    os.chdir(REPO)
+    rc = supervise(cli)
     wall_b = time.time() - t_b
-    if r.returncode != 0:
-        raise RuntimeError(f"phase B failed rc={r.returncode}")
+    if rc != 0:
+        raise RuntimeError(f"phase B failed rc={rc}")
     steps_b = iterations - resume_step
     rays_rate = steps_b * 1024 / wall_b
     print(f"[soak] phase B: {steps_b} steps in {wall_b:.0f}s wall "

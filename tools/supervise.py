@@ -28,6 +28,7 @@ tunnel needs ~3 minutes to recover before even a tiny dispatch succeeds
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 import time
@@ -42,7 +43,12 @@ def supervise(cmd: list[str], max_restarts: int = 10, cooldown: float = 180.0,
     while True:
         attempt += 1
         print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
-        rc = subprocess.call(cmd)
+        # Children can detect a supervised RESTART (attempt > 1) and switch
+        # to resume semantics even when their argv lacks an explicit resume
+        # flag — otherwise a tool that wipes its own experiment dir on a
+        # fresh start would restart long runs from zero after every wedge.
+        env = dict(os.environ, SUPERVISE_ATTEMPT=str(attempt))
+        rc = subprocess.call(cmd, env=env)
         if rc == 0:
             print(f"[supervise] success after {attempt} attempt(s)",
                   flush=True)

@@ -59,6 +59,12 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     two_stage = stage1_iters > 0
     base = "/tmp/pigan_validate"
     name = "exp2" if two_stage else "exp"
+    # A supervised RESTART (tools/supervise.py re-running us after a
+    # watchdog exit) must resume even when the original argv lacked
+    # --resume — wiping the experiment dir here would restart the long run
+    # from zero on every tunnel wedge.
+    if int(os.environ.get("SUPERVISE_ATTEMPT", "1")) > 1:
+        resume = True
     if not resume:
         import shutil
         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
@@ -161,8 +167,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
 
     from msra_practice_project_tpu.core import ckpt as ckpt_lib
     log_path = os.path.join(base, name)
-    steps = sorted(int(f.split(".")[0]) for f in os.listdir(log_path)
-                   if f.endswith(".ckpt"))
+    steps = [s for s, _ in ckpt_lib.list_checkpoints(log_path)]
     template = {"g": jax.tree.map(lambda x: x, out["g_state"]),
                 "d": out["d_state"], "step": 0}
     div_traj = []
@@ -180,12 +185,9 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
 
     # loss-curve plots through the diagnostics harness (pi_GAN/test.py:78-85)
     from msra_practice_project_tpu.eval import pigan_test
-    try:
-        pigan_test.plot_loss_curves(
-            loss_log, os.path.join(log_path, "loss_curves.png"))
-        print(f"[validate] loss curves -> {log_path}/loss_curves.png")
-    except AttributeError:
-        pass  # older harness layout
+    pigan_test.plot_loss_curves(
+        loss_log, os.path.join(log_path, "loss_curves.png"))
+    print(f"[validate] loss curves -> {log_path}/loss_curves.png")
 
     # 3D consistency: same identity, two nearby yaws
     th = jnp.array([0.0, 0.25])
