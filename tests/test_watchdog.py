@@ -96,3 +96,22 @@ def test_supervise_retry_any_bounded(tmp_path):
     assert r.returncode == 3
     assert "attempt 3" in r.stdout         # 1 original + 2 restarts
     assert "attempt 4" not in r.stdout
+
+
+def test_supervise_exports_attempt_number(tmp_path):
+    """Children see SUPERVISE_ATTEMPT so a restart (attempt > 1) can switch
+    to resume semantics even when the original argv lacked a resume flag
+    (tools/validate_pigan.py relies on this to not wipe its experiment dir
+    after a watchdog restart)."""
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent("""
+        import os, sys
+        a = os.environ["SUPERVISE_ATTEMPT"]
+        print("attempt-env=" + a)
+        sys.exit(17 if a == "1" else 0)
+    """))
+    r = _run([sys.executable, "tools/supervise.py", "--cooldown", "0", "--",
+              sys.executable, str(child)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "attempt-env=1" in r.stdout
+    assert "attempt-env=2" in r.stdout
