@@ -98,6 +98,7 @@ class Watchdog:
         self.log_path = log_path
         self._last = time.monotonic()
         self._note = ""
+        self._paused = False
         self._stop_evt = threading.Event()
         self._thread = None
         if self.timeout > 0:
@@ -113,6 +114,18 @@ class Watchdog:
         """Mark liveness (call once per host-visible loop iteration)."""
         self._note = note
         self._last = time.monotonic()
+
+    def pause(self) -> None:
+        """Temporarily blind the watchdog for a legitimately-long HOST-side
+        phase (e.g. marching a 512^3 grid) that cannot wedge on the device.
+        Unlike stop(), the thread stays alive and resume() re-arms it —
+        a stop()+new-Watchdog pair at every mesh cadence would leak
+        threads."""
+        self._paused = True
+
+    def resume(self) -> None:
+        self._last = time.monotonic()
+        self._paused = False
 
     def stop(self) -> None:
         """Disarm (call when leaving the watched region — e.g. before long
@@ -132,6 +145,8 @@ class Watchdog:
     def _run(self) -> None:
         poll = max(min(self.timeout / 4.0, 5.0), 0.05)
         while not self._stop_evt.wait(poll):
+            if self._paused:
+                continue
             stalled = time.monotonic() - self._last
             if stalled > self.timeout:
                 msg = (f"[watchdog] no heartbeat for {stalled:.0f}s "

@@ -62,10 +62,14 @@ def _render_chunked(generator, g_params, key, film, theta, phi, resolution,
 
 
 def render_films(generator, g_params, key, film, poses, resolution=DEMO_RES,
-                 coarse=DEMO_COARSE, fine=DEMO_FINE, fov=None):
-    """film [B, 9, 512] x poses [(theta, phi), ...] -> [B, P, H, W, 3]."""
+                 coarse=DEMO_COARSE, fine=DEMO_FINE, fov=None, beat=None):
+    """film [B, 9, 512] x poses [(theta, phi), ...] -> [B, P, H, W, 3].
+    `beat` (optional callable) is invoked per pose — watchdog liveness for
+    long orbit renders driven under a supervisor."""
     out = []
     for i, pose in enumerate(poses):
+        if beat is not None:
+            beat(f"render pose {i}/{len(poses)}")
         theta = jnp.full((film.shape[0],), float(pose[0]))
         phi = jnp.full((film.shape[0],), float(pose[1]))
         f = float(pose[2]) if len(pose) >= 3 else fov
@@ -98,25 +102,26 @@ def save_demo(generator, g_params, key, file_name, rows=8, columns=8,
 
 def demo_multiview(generator, g_params, key, file_name, poses, rows=4,
                    film=None, resolution=DEMO_RES, coarse=DEMO_COARSE,
-                   fine=DEMO_FINE):
+                   fine=DEMO_FINE, beat=None):
     if film is None:
         z = jax.random.normal(jax.random.fold_in(key, 0),
                               (rows, generator.cfg.z_dim))
         film = generator.get_mapping(g_params, z)
     imgs = render_films(generator, g_params, jax.random.fold_in(key, 1),
-                        film, poses, resolution, coarse, fine)
+                        film, poses, resolution, coarse, fine, beat=beat)
     image_io.imwrite(file_name, _grid(imgs))
 
 
 def demo_video(generator, g_params, key, file_name, poses, film=None,
-               resolution=DEMO_RES, coarse=DEMO_COARSE, fine=DEMO_FINE):
+               resolution=DEMO_RES, coarse=DEMO_COARSE, fine=DEMO_FINE,
+               beat=None):
     """Orbit GIF (ref: pi_GAN/utils.py:231-243)."""
     if film is None:
         z = jax.random.normal(jax.random.fold_in(key, 0),
                               (1, generator.cfg.z_dim))
         film = generator.get_mapping(g_params, z)
     imgs = render_films(generator, g_params, jax.random.fold_in(key, 1),
-                        film, poses, resolution, coarse, fine)[0]
+                        film, poses, resolution, coarse, fine, beat=beat)[0]
     image_io.mimwrite(file_name, [image_io.to8b(f) for f in imgs],
                       duration=0.1)
 

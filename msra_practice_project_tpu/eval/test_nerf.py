@@ -18,7 +18,7 @@ import sys
 import jax
 import numpy as np
 
-from ..core import image_io, metrics
+from ..core import diagnostics, image_io, metrics
 from ..ops.rays import pose_to_camera_pos
 from ..train.train_nerf import load_dataset
 from .nerf_common import load_experiment, render_view
@@ -37,6 +37,16 @@ def run(log_path: str, ckpt_idx: int | None, sample_mult: float = 1.0,
         max_views: int | None = None):
     config, models, state, step = load_experiment(log_path, ckpt_idx)
     images, poses, width, height, focal, _ = load_dataset(config)
+    # Long sweeps (the 400^2 soak renders 66 views, ~9.5 min of device
+    # work) inherit the experiment's watchdog: a wedged dispatch exits 17
+    # for a supervised re-run instead of hanging forever.  The sweep is
+    # idempotent, so a restart just re-renders.  The heartbeat here is
+    # per-VIEW, and the first view pays the cold remote compile (up to
+    # ~350 s) — floor the training-tuned timeout so a legitimately slow
+    # view can't deterministically kill every supervised attempt.
+    t = float(config.get("watchdog_timeout", 0.0) or 0.0)
+    watchdog = diagnostics.Watchdog(max(t, 900.0) if t > 0 else 0.0,
+                                    log_path)
 
     data = {k: {"train": [], "in": [], "ex": []}
             for k in ["dist", "psnr", "ssim", "lpips", "perceptual"]}
@@ -51,6 +61,7 @@ def run(log_path: str, ckpt_idx: int | None, sample_mult: float = 1.0,
         for i, (pose, target) in enumerate(pairs):
             if max_views is not None and i >= max_views:
                 break
+            watchdog.beat(f"{split} view {i}")
             rgb, _, _ = render_view(config, models, state, width, height,
                                     focal, pose,
                                     jax.random.fold_in(key, i),
@@ -76,6 +87,7 @@ def run(log_path: str, ckpt_idx: int | None, sample_mult: float = 1.0,
                   f"SSIM: {ssim:.4f} LPIPS: {lp} "
                   f"PERC({perceptual_metric}): {perc:.4f}")
 
+    watchdog.stop()
     data["perceptual_metric"] = perceptual_metric
     test_file = os.path.join(log_path, "test.json")
     with open(test_file, "w") as f:

@@ -120,6 +120,11 @@ def synthesize(config, target_path: str | None = None) -> dict:
     step_fn, multi_fn = make_syn_step(generator, discriminator, g_params,
                                       d_params, target, tx)
     loss_log = []
+    loss_file = os.path.join(syn_log_path, "syn_loss.npy")
+    if global_step and os.path.exists(loss_file):
+        # merged loss history must span the whole run across supervised
+        # restarts; truncate a log that ran ahead of the restored ckpt
+        loss_log = [float(v) for v in np.load(loss_file)][:global_step]
     n_pose = 9
     poses = [(0.15 * (i - (n_pose - 1) / 2), 0.0) for i in range(n_pose)]
     iterations = config.get("syn_iterations", ITERATIONS)
@@ -149,6 +154,11 @@ def synthesize(config, target_path: str | None = None) -> dict:
             loss_log[:] = logging_lib.flush_scalar_list(loss_log)
             print(f"[Train] Iter: {global_step} loss: {loss_log[-1]}")
         if global_step % I_SAVE == 0:
+            # Sidecar BEFORE ckpt (same crash-consistency order as the
+            # trainers: log-ahead is truncated on resume, log-behind would
+            # hole the history).
+            loss_log[:] = logging_lib.flush_scalar_list(loss_log)
+            np.save(loss_file, np.asarray(loss_log, np.float64))
             p = ckpt_lib.save(syn_log_path, global_step, syn_state)
             print(f"Saved checkpoints at {p}")
         if global_step % I_IMAGE == 0:
@@ -158,18 +168,26 @@ def synthesize(config, target_path: str | None = None) -> dict:
                            poses, film=syn_state["params"][None],
                            resolution=RESOLUTION)
 
-    watchdog.stop()
+    # Keep the watchdog armed through the trailing device phases (final
+    # flush + 128^2 multiview + orbit GIF) — a production wedge was observed
+    # in exactly this post-loop phase; disarming early hangs unsupervised.
+    watchdog.beat("final flush")
     loss_log[:] = logging_lib.flush_scalar_list(loss_log)
     # Final 128^2 multiview + orbit GIF (ref: synthesis.py:131-139).
     film = syn_state["params"][None]
+    watchdog.beat("final multiview")
     demo_multiview(generator, g_params, jax.random.fold_in(key, 10_000_002),
                    os.path.join(syn_log_path, "demo.png"), poses, film=film,
                    resolution=FINAL_RES, coarse=FINAL_COARSE,
-                   fine=FINAL_FINE)
+                   fine=FINAL_FINE, beat=watchdog.beat)
     orbit = [(a, 0.0) for a in np.linspace(-1, 1, 41)[:-1]]
+    # per-frame beats: one beat over the whole 40-frame orbit would race a
+    # cold-compile window against the timeout
     demo_video(generator, g_params, jax.random.fold_in(key, 10_000_003),
                os.path.join(syn_log_path, "demo.gif"), orbit, film=film,
-               resolution=FINAL_RES, coarse=FINAL_COARSE, fine=FINAL_FINE)
+               resolution=FINAL_RES, coarse=FINAL_COARSE, fine=FINAL_FINE,
+               beat=watchdog.beat)
+    watchdog.stop()
     return {"film": syn_state["params"], "loss_log": loss_log,
             "target": target}
 

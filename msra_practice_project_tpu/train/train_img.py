@@ -109,6 +109,10 @@ def train(config) -> dict:
     global_step, state = common.resume(log_path, state)
 
     logger = MetricLogger(["loss", "psnr"])
+    log_file = os.path.join(log_path, "log.npy")
+    if global_step and os.path.exists(log_file):
+        # merged log must span the WHOLE run across supervised restarts
+        logger.preload(MetricLogger.load(log_file), global_step)
     apply_fn = jax.tree_util.Partial(model.apply)
 
     batch_idx = 0
@@ -158,12 +162,17 @@ def train(config) -> dict:
                 os.path.join(log_path, f"{global_step:06d}.png"),
                 np.asarray(frame))
         if global_step % config.i_save == 0:
+            # Log BEFORE ckpt: resume truncates a log that ran ahead of the
+            # ckpt, but one left behind (kill between the writes) would
+            # hole the merged history permanently.
+            logger.save(log_path)
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
-    watchdog.stop()
     profiler.stop()
+    # final flush is a device sync — keep the watchdog armed through it
     logger.save(log_path)
+    watchdog.stop()
     return {"state": state, "log": logger.data, "model": model,
             "image": img, "width": width, "height": height}
 

@@ -389,8 +389,11 @@ def train(config) -> dict:
                       f"Loss: {float(m['loss'])} PSNR: {float(m['psnr'])} "
                       f"({rate:.1f} steps/s)")
         if global_step % config["i_save"] == 0:
+            # Log BEFORE ckpt: resume truncates a log that ran ahead of the
+            # ckpt (preload n=step), but a log left behind one (kill between
+            # the two writes) would hole the merged history permanently.
+            logger.save(log_path)
             p = ckpt_lib.save(log_path, global_step, state)
-            logger.save(log_path)  # log survives a kill alongside the ckpt
             log_print(f"Saved checkpoints at {p}")
         if global_step % config["i_image"] == 0:
             frame = render_eval_image(config, coarse_model, fine_model,
@@ -399,9 +402,10 @@ def train(config) -> dict:
             image_io.imwrite(
                 os.path.join(log_path, f"{global_step:06d}.png"), frame)
 
-    watchdog.stop()
     profiler.stop()
+    # final flush is a device sync — keep the watchdog armed through it
     logger.save(log_path)
+    watchdog.stop()
     return {"state": state, "log": logger.data, "models":
             (coarse_model, fine_model), "geometry":
             (width, height, focal)}

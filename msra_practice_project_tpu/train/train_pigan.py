@@ -276,11 +276,14 @@ def train(config) -> dict:
                       f" d_loss: {loss_log['d_loss'][-1]} "
                       f"g_loss: {loss_log['g_loss'][-1]}")
         if global_step % config.i_save == 0:
+            # Sidecar BEFORE ckpt: resume truncates a loss_log that ran
+            # ahead ([:global_step]), but one left behind (kill between the
+            # two writes) would hole the merged history permanently.
+            _flush_loss_log(loss_log)
+            np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
             p = ckpt_lib.save(log_path, global_step,
                               {"g": g_state, "d": d_state,
                                "step": global_step})
-            _flush_loss_log(loss_log)
-            np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
             log_print(f"Saved checkpoints at {p}")
         if global_step % config.i_image == 0:
             # stage can equal len(resolutions) on the very last step (the
@@ -292,10 +295,11 @@ def train(config) -> dict:
                 os.path.join(log_path, f"{global_step:06d}.png"),
                 resolution=res_now)
 
-    watchdog.stop()
     profiler.stop()
+    # final flush is a device sync — keep the watchdog armed through it
     _flush_loss_log(loss_log)
     np.save(os.path.join(log_path, "loss_log.npy"), loss_log)
+    watchdog.stop()
     return {"g_state": g_state, "d_state": d_state, "loss_log": loss_log,
             "generator": generator, "discriminator": discriminator}
 

@@ -108,17 +108,31 @@ def _sdf_slice(params, xi_coord, *, apply_fn, n: int):
 
 
 def create_mesh(apply_fn, params, filename: str, n: int = 256,
-                level: float = 0.0, bound: float = 1.0):
+                level: float = 0.0, bound: float = 1.0, watchdog=None):
     """Dense-grid eval (slice-by-slice on device) -> marching tetrahedra ->
-    PLY (ref: siren/utils_sdf.py:25-83)."""
+    PLY (ref: siren/utils_sdf.py:25-83).
+
+    `watchdog` (optional core.diagnostics.Watchdog): beaten per device
+    slice — a wedged dispatch still trips it — then PAUSED for the
+    host-side marching pass, which can legitimately exceed the heartbeat
+    timeout on large grids (a fire there would restart-loop the run
+    deterministically at the same i_mesh step)."""
     xs = np.linspace(-bound, bound, n)
     values = np.empty((n, n, n), np.float32)
     for i, x in enumerate(xs):
+        if watchdog is not None:
+            watchdog.beat(f"mesh slice {i}/{n}")
         values[i] = np.asarray(_sdf_slice(params, jnp.float32(x),
                                           apply_fn=apply_fn, n=n))
     voxel_size = 2.0 * bound / (n - 1)
-    verts, faces = mesh_lib.extract_mesh_from_grid(
-        values, level, (-bound,) * 3, voxel_size, filename + ".ply")
+    if watchdog is not None:
+        watchdog.pause()
+    try:
+        verts, faces = mesh_lib.extract_mesh_from_grid(
+            values, level, (-bound,) * 3, voxel_size, filename + ".ply")
+    finally:
+        if watchdog is not None:
+            watchdog.resume()
     return values, verts, faces
 
 
@@ -151,6 +165,10 @@ def train(config) -> dict:
 
     apply_fn = jax.tree_util.Partial(model.apply)
     logger = MetricLogger(["loss"])
+    log_file = os.path.join(log_path, "log.npy")
+    if global_step and os.path.exists(log_file):
+        # merged log must span the WHOLE run across supervised restarts
+        logger.preload(MetricLogger.load(log_file), global_step)
     root_key = jax.random.PRNGKey(config.get("seed", 0) + 1)
 
     # Initial + per-epoch reshuffle of the on-surface cloud — the intended
@@ -214,14 +232,21 @@ def train(config) -> dict:
         if global_step % i_mesh == 0:
             create_mesh(apply_fn, state["params"],
                         os.path.join(log_path, f"{global_step:06d}"),
-                        n=mesh_n)
+                        n=mesh_n, watchdog=watchdog)
         if global_step % config.i_save == 0:
+            # Log BEFORE ckpt: resume truncates a log that ran ahead of the
+            # ckpt, but one left behind (kill between the writes) would
+            # hole the merged history permanently.
+            logger.save(log_path)
             path = ckpt_lib.save(log_path, global_step, state)
             log_print(f"Saved checkpoints at {path}")
 
-    watchdog.stop()  # before the long host-side final mesh extraction
     profiler.stop()
+    # final flush is a device sync — keep the watchdog armed through it,
+    # then disarm before the final mesh extraction (its host-side marching
+    # pass can legitimately exceed the heartbeat timeout)
     logger.save(log_path)
+    watchdog.stop()
     # Final high-res mesh (ref: siren/train_sdf.py:101, N=512).
     create_mesh(apply_fn, state["params"], os.path.join(log_path, "test"),
                 n=config.get("final_mesh_n", 512))

@@ -71,15 +71,33 @@ def test_train_img_resume(tmp_path):
     from msra_practice_project_tpu.train import train_img
 
     cfg = _cfg(tmp_path, "img", SIREN_IMG_DEFAULTS, iterations=20,
-               batch_size=256, i_print=1000, i_save=20, i_image=1000,
+               batch_size=256, i_print=1000, i_save=10, i_image=1000,
                data_size=16)
-    train_img.train(cfg)
+    first = train_img.train(cfg)
     cfg2 = Config(cfg)
     cfg2["iterations"] = 40
     out = train_img.train(cfg2)
-    # resumed from 20 -> only 20 more steps logged
-    assert len(out["log"]["loss"]) == 20
     assert int(out["state"]["step"]) == 40
+    # the merged log spans the WHOLE run (log.npy preloaded on resume),
+    # with the pre-resume prefix preserved exactly
+    assert len(out["log"]["loss"]) == 40
+    np.testing.assert_allclose(out["log"]["loss"][:20],
+                               first["log"]["loss"], rtol=1e-6)
+
+
+def test_train_sdf_resume_log_spans_run(tmp_path):
+    from msra_practice_project_tpu.train import train_sdf
+
+    cfg = _cfg(tmp_path, "sdf_res", SIREN_SDF_DEFAULTS, iterations=8,
+               batch_size=256, i_print=1000, i_save=4, i_mesh=100,
+               mesh_n=12, final_mesh_n=12, data_points=1024, data_path="")
+    first = train_sdf.train(cfg)
+    cfg2 = Config(cfg)
+    cfg2["iterations"] = 16
+    out = train_sdf.train(cfg2)
+    assert len(out["log"]["loss"]) == 16
+    np.testing.assert_allclose(out["log"]["loss"][:8], first["log"]["loss"],
+                               rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -350,3 +368,55 @@ def test_fused_mlp_disabled_on_cpu(tmp_path):
                i_image=100, data_size=16, use_fused_mlp=True)
     out = train_nerf.train(cfg)  # would crash if the pallas path were taken
     assert np.isfinite(out["log"]["loss"]).all()
+
+
+def test_save_ordering_log_before_ckpt(tmp_path, monkeypatch):
+    """Crash-consistency invariant: at every i_save the metric log/sidecar
+    must be written BEFORE the checkpoint.  Resume truncates a log that ran
+    ahead of the ckpt, but a log left behind one (kill lands between the two
+    writes — exactly where tunnel wedges strike, mid device-sync) would hole
+    the merged history permanently."""
+    from msra_practice_project_tpu.core import ckpt as ckpt_lib
+    from msra_practice_project_tpu.core.logging import MetricLogger
+    from msra_practice_project_tpu.train import train_nerf, train_pigan
+
+    events = []
+    real_ckpt_save = ckpt_lib.save
+    real_log_save = MetricLogger.save
+
+    def spy_ckpt(*a, **kw):
+        events.append("ckpt")
+        return real_ckpt_save(*a, **kw)
+
+    def spy_log(self, *a, **kw):
+        events.append("log")
+        return real_log_save(self, *a, **kw)
+
+    monkeypatch.setattr(train_nerf.ckpt_lib, "save", spy_ckpt)
+    monkeypatch.setattr(MetricLogger, "save", spy_log)
+    cfg = _cfg(tmp_path, "nerf_order", NERF_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=8, batch_size=32,
+               start_up_itrs=0, render_coarse_sample_num=4,
+               render_fine_sample_num=4, i_print=100, i_save=4, i_image=100,
+               data_size=16, steps_per_call=1)
+    train_nerf.train(cfg)
+    # two i_save events (log, ckpt) + the final (log) flush
+    assert events[:4] == ["log", "ckpt", "log", "ckpt"], events
+
+    events.clear()
+    real_np_save = np.save
+
+    def spy_sidecar(path, *a, **kw):
+        if str(path).endswith("loss_log.npy"):
+            events.append("log")
+        return real_np_save(path, *a, **kw)
+
+    monkeypatch.setattr(train_pigan.ckpt_lib, "save", spy_ckpt)
+    monkeypatch.setattr(train_pigan.np, "save", spy_sidecar)
+    cfg = _cfg(tmp_path, "pigan_order", PIGAN_TRAIN_DEFAULTS,
+               data_path="/nonexistent", iterations=[4], fade_in_itrs=[0],
+               batch_size=[4], resolution=[16], z_dim=32, data_n=8,
+               render_coarse_sample_num=4, render_fine_sample_num=4,
+               i_print=100, i_save=2, i_image=100)
+    train_pigan.train(cfg)
+    assert events[:4] == ["log", "ckpt", "log", "ckpt"], events

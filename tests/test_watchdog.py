@@ -115,3 +115,43 @@ def test_supervise_exports_attempt_number(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "attempt-env=1" in r.stdout
     assert "attempt-env=2" in r.stdout
+
+
+def test_watchdog_pause_blinds_then_resume_rearms(tmp_path):
+    """pause() must survive a heartbeat gap longer than the timeout (the
+    legitimate host-side marching pass), and resume() must re-arm from a
+    fresh heartbeat."""
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, {REPO!r})
+        from msra_practice_project_tpu.core.diagnostics import Watchdog
+        w = Watchdog(0.4)
+        w.beat("work")
+        w.pause()
+        time.sleep(1.2)      # > timeout: would fire if not paused
+        w.resume()
+        time.sleep(0.2)      # < timeout after the resume reset
+        w.stop()
+        print("SURVIVED")
+    """))
+    r = _run([sys.executable, str(child)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SURVIVED" in r.stdout
+
+
+def test_watchdog_fires_after_resume(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import sys, time
+        sys.path.insert(0, {REPO!r})
+        from msra_practice_project_tpu.core.diagnostics import Watchdog
+        w = Watchdog(0.4)
+        w.pause()
+        w.resume()
+        time.sleep(5)        # stalled while armed -> exit 17
+        print("UNREACHABLE")
+    """))
+    r = _run([sys.executable, str(child)])
+    assert r.returncode == 17
+    assert "UNREACHABLE" not in r.stdout

@@ -140,13 +140,16 @@ def main(iterations=200000, size=400, n_train=50, kill_frac=0.25):
     print(f"[soak] log spans {n_log} steps; psnr around the kill: "
           f"{np.mean(pre):.2f} -> {np.mean(post):.2f} dB (no reset)")
 
-    # Phase C: full eval sweep + analysis plots.
-    print("[soak] phase C: eval sweep over all views")
+    # Phase C: full eval sweep + analysis plots.  The sweep inherits the
+    # experiment's watchdog (eval/test_nerf.py) and is idempotent, so it is
+    # supervised too: a wedge re-runs it instead of killing the soak.
+    print("[soak] phase C: eval sweep over all views (supervised)")
     t_c = time.time()
-    r = sh([sys.executable, "-m", "msra_practice_project_tpu.eval.test_nerf",
-            log_dir, str(iterations)])
+    rc = supervise([sys.executable, "-m",
+                    "msra_practice_project_tpu.eval.test_nerf",
+                    log_dir, str(iterations)])
     wall_c = time.time() - t_c
-    if r.returncode != 0:
+    if rc != 0:
         raise RuntimeError("test_nerf sweep failed")
     r = sh([sys.executable, "-m",
             "msra_practice_project_tpu.eval.analysis_view",
