@@ -45,16 +45,15 @@ class MetricLogger:
             self._flushed[k] = len(self._data[k])
 
     def append(self, **kv):
-        """One scalar per key (device scalar or python float)."""
+        """One entry per key: a scalar (device scalar or python float) or a
+        [K] per-step metric vector covering K steps — flush() flattens
+        both into the scalar history."""
         for k, v in kv.items():
             self._data[k].append(v)
         self._pending += 1
 
-    def append_vec(self, **kv):
-        """One [K] per-step metric vector per key (covers K steps)."""
-        for k, v in kv.items():
-            self._data[k].append(v)
-        self._pending += 1
+    # alias kept for call-site readability (vector-entry intent)
+    append_vec = append
 
     def flush(self):
         if not self._pending:

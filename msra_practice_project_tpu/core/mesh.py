@@ -276,11 +276,17 @@ def write_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
         "property list uchar int vertex_indices\n"
         "end_header\n"
     )
+    # One structured-array write for the faces: a per-triangle struct.pack
+    # loop costs tens of seconds of pure Python on the multi-million-face
+    # meshes the final N=512 grids produce.
+    face_rec = np.empty(faces.shape[0],
+                        dtype=np.dtype([("n", "<u1"), ("v", "<i4", (3,))]))
+    face_rec["n"] = 3
+    face_rec["v"] = faces
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
         f.write(verts.tobytes())
-        for tri in faces:
-            f.write(struct.pack("<B3i", 3, int(tri[0]), int(tri[1]), int(tri[2])))
+        f.write(face_rec.tobytes())
 
 
 def read_ply(path: str):
@@ -298,6 +304,12 @@ def read_ply(path: str):
     verts = np.frombuffer(data, dtype="<f4", count=nv * 3, offset=end)
     verts = verts.reshape(nv, 3).copy()
     off = end + nv * 12
+    tri_dtype = np.dtype([("n", "<u1"), ("v", "<i4", (3,))])
+    if len(data) - off == nf * tri_dtype.itemsize:
+        rec = np.frombuffer(data, dtype=tri_dtype, count=nf, offset=off)
+        if nf == 0 or (rec["n"] == 3).all():
+            return verts, rec["v"].astype(np.int32, copy=True)
+    # general polygon lists (not produced by write_ply)
     faces = np.zeros((nf, 3), np.int32)
     for i in range(nf):
         (n,) = struct.unpack_from("<B", data, off)

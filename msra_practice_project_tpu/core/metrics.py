@@ -28,18 +28,10 @@ def mse(a, b):
 
 def psnr(a, b=None, *, mse_value=None):
     """-10*log10(mse).  Pass two images, or a precomputed mse."""
+    if b is None and mse_value is None:
+        raise TypeError("psnr needs two images or mse_value=...")
     m = mse(a, b) if mse_value is None else mse_value
     return -10.0 * jnp.log10(m)
-
-
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
-    g = np.array(
-        [math.exp(-((x - window_size // 2) ** 2) / (2.0 * sigma**2))
-         for x in range(window_size)],
-        dtype=np.float32,
-    )
-    g /= g.sum()
-    return np.outer(g, g)
 
 
 def _to_nchw64(img):

@@ -134,13 +134,33 @@ class FilmSirenNeRF:
             g, b = g[..., None, :], b[..., None, :]
         return g, b
 
-    def apply(self, params, x, film):
+    @staticmethod
+    def _kernel_batched(x, film) -> bool:
+        """The fused/hybrid kernels flatten x as [film.shape[0], -1, 6]
+        (ops/pallas/film_mlp._prep), so they are only correct for the
+        batched prefix layout film [B, n_film, 2h] + x [B, ..., 6].  Every
+        other broadcast pattern the class contract allows (e.g. unbatched
+        film [n_film, 2h]) must take the XLA path — on TPU the kernel
+        backward would otherwise reshape x to [n_film, -1, 6] and condition
+        points with the wrong film rows."""
+        return film.ndim == 3 and x.ndim >= 2 and x.shape[0] == film.shape[0]
+
+    def apply(self, params, x, film, need_dx: bool = True):
+        """need_dx=False lets the TPU kernels skip the input-gradient work
+        in their backward (zeros are returned for dx) — only pass it when x
+        provably carries no gradient (render_film's points come from
+        non-diff pose/ray data and stop-gradient'd z values).  The XLA path
+        ignores it: XLA dead-code-eliminates unused input grads itself."""
         mode = self._fused_mode()
+        if mode and not self._kernel_batched(x, film):
+            mode = 0
         if mode == 2:
             from ..ops.pallas.film_mlp import fused_film_apply
-            return fused_film_apply(params, x, film, self.cfg.use_dir)
+            return fused_film_apply(params, x, film, self.cfg.use_dir,
+                                    need_dx=need_dx)
         if mode == 1:
-            return _film_trunk_hybrid(params, x, film, self.cfg.use_dir)
+            return _film_trunk_hybrid(params, x, film, self.cfg.use_dir,
+                                      need_dx)
         return self._apply_xla(params, x, film)
 
     def _fused_mode(self) -> int:
@@ -184,8 +204,8 @@ class FilmSirenNeRF:
         return jnp.concatenate([rgb, sigma], axis=-1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _film_trunk_hybrid(params, x, film, use_dir):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _film_trunk_hybrid(params, x, film, use_dir, need_dx=True):
     """Primal (inference + forward pass): the XLA fast-sin trunk.  Backward:
     the fused Pallas kernel's recompute backward (ops/pallas/film_mlp.py) —
     each side where it measures fastest on v5e."""
@@ -193,13 +213,14 @@ def _film_trunk_hybrid(params, x, film, use_dir):
     return t._apply_xla(params, x, film)
 
 
-def _film_hybrid_fwd(params, x, film, use_dir):
-    return _film_trunk_hybrid(params, x, film, use_dir), (params, x, film)
+def _film_hybrid_fwd(params, x, film, use_dir, need_dx):
+    return _film_trunk_hybrid(params, x, film, use_dir, need_dx), \
+        (params, x, film)
 
 
-def _film_hybrid_bwd(use_dir, res, dy):
+def _film_hybrid_bwd(use_dir, need_dx, res, dy):
     from ..ops.pallas import film_mlp
-    return film_mlp._bwd_rule(use_dir, True, False, res, dy)
+    return film_mlp._bwd_rule(use_dir, True, False, need_dx, res, dy)
 
 
 _film_trunk_hybrid.defvjp(_film_hybrid_fwd, _film_hybrid_bwd)
@@ -291,7 +312,10 @@ class Generator:
             lambda c2w: ray_ops.get_rays_flat(res, res, focal, c2w)
         )(poses)  # [B, R, 3] each
 
-        model_fn = jax.tree_util.Partial(self.trunk.apply, params["trunk"], film=film)
+        # need_dx=False: these points are functions of non-diff pose/ray
+        # data and stop-gradient'd z values, so input grads are dead work.
+        model_fn = jax.tree_util.Partial(self.trunk.apply, params["trunk"],
+                                         film=film, need_dx=False)
         out = render_rays(
             key, rays_o, rays_d, cfg.near, cfg.far,
             model_fn, model_fn, nc, nf,
@@ -404,6 +428,15 @@ class Discriminator:
     @partial(jax.jit, static_argnames=("self", "resolution"))
     def apply(self, params, x, resolution: int, alpha=-1.0):
         step = self.n_layers - int(math.log2(resolution)) + 1
+        if not 0 <= step < len(params["adapters"]):
+            # Fail fast: a resolution above the ladder top would otherwise
+            # negative-index the wrong adapter/block and die much later in
+            # an unrelated conv shape error (the reference shares the trap,
+            # pi_GAN/modules.py:307).
+            top = 2 ** (self.n_layers + 1)
+            raise ValueError(
+                f"resolution {resolution} outside the discriminator's "
+                f"progressive ladder 4..{top}")
         h = jax.nn.leaky_relu(_conv(params["adapters"][step], x), 0.2)
         alpha = jnp.asarray(alpha, x.dtype)
         for i in range(step, self.n_layers):

@@ -203,11 +203,14 @@ def _fused_forward(x, film, weights, bf16=True, interpret=False):
     )(x, film, *weights)
 
 
-def _bwd_kernel(bf16, x_ref, film_ref, dy_ref, *refs):
+def _bwd_kernel(bf16, need_dx, x_ref, film_ref, dy_ref, *refs):
     w = {k: refs[i][:] for i, k in enumerate(PACK_KEYS)}
-    dx_ref = refs[_N_IN]
-    dfilm_ref = refs[_N_IN + 1]
-    dw = {k: refs[_N_IN + 2 + i] for i, k in enumerate(PACK_KEYS)}
+    off = _N_IN
+    if need_dx:
+        dx_ref = refs[off]
+        off += 1
+    dfilm_ref = refs[off]
+    dw = {k: refs[off + 1 + i] for i, k in enumerate(PACK_KEYS)}
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -257,7 +260,11 @@ def _bwd_kernel(bf16, x_ref, film_ref, dy_ref, *refs):
     dw["W8b"][:] += _mmT(x, du8, bf16)
     dw["b8"][:] += jnp.sum(du8, axis=0, keepdims=True)
     dh7 = _mmB(du8, w["W8a"], bf16)
-    dx = _mmB(du8, w["W8b"], bf16)
+    # dx only when the caller differentiates wrt points — in generator
+    # training x is built from non-diff pose/ray data and stop-gradient'd
+    # z values, so the two dx matmuls + the [N, 8] HBM write are dead work
+    # (mirrors nerf_mlp's need_dx).
+    dx = _mmB(du8, w["W8b"], bf16) if need_dx else None
 
     dw["Ws"][:] += _mmT(hs[7].astype(jnp.float32), dsig, bf16)
     dw["bs"][:] += jnp.sum(dsig, axis=0, keepdims=True)
@@ -272,14 +279,14 @@ def _bwd_kernel(bf16, x_ref, film_ref, dy_ref, *refs):
     du0 = film_layer_bwd(0, dh)
     dw["W0"][:] += _mmT(x, du0, bf16)
     dw["b0"][:] += jnp.sum(du0, axis=0, keepdims=True)
-    dx = dx + _mmB(du0, w["W0"], bf16)
-
-    dx_ref[0] = dx
+    if need_dx:
+        dx_ref[0] = dx + _mmB(du0, w["W0"], bf16)
     dfilm_ref[0] += jnp.concatenate(dfilm_rows, axis=0)  # [N_FILM, 2*HID]
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret"))
-def _fused_backward(x, film, dy, weights, bf16=True, interpret=False):
+@partial(jax.jit, static_argnames=("bf16", "interpret", "need_dx"))
+def _fused_backward(x, film, dy, weights, bf16=True, interpret=False,
+                    need_dx=True):
     p_orig = x.shape[1]
     tile = min(BWD_TILE, max(p_orig, 8))
     x = _pad_points(x, tile)
@@ -295,27 +302,32 @@ def _fused_backward(x, film, dy, weights, bf16=True, interpret=False):
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_IN
     )
+    dx_specs = [pl.BlockSpec((1, tile, IN_PAD), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)] if need_dx else []
+    dx_shapes = ([jax.ShapeDtypeStruct((b, p, IN_PAD), jnp.float32)]
+                 if need_dx else [])
     out_specs = (
-        [pl.BlockSpec((1, tile, IN_PAD), lambda i, j: (i, j, 0),
-                      memory_space=pltpu.VMEM),
-         pl.BlockSpec((1, N_FILM, 2 * HID), lambda i, j: (i, 0, 0),
-                      memory_space=pltpu.VMEM)]
+        dx_specs
+        + [pl.BlockSpec((1, N_FILM, 2 * HID), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * _N_IN
     )
     out_shape = (
-        [jax.ShapeDtypeStruct((b, p, IN_PAD), jnp.float32),
-         jax.ShapeDtypeStruct((b, N_FILM, 2 * HID), jnp.float32)]
+        dx_shapes
+        + [jax.ShapeDtypeStruct((b, N_FILM, 2 * HID), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
     )
     outs = pl.pallas_call(
-        partial(_bwd_kernel, bf16),
+        partial(_bwd_kernel, bf16, need_dx),
         grid=(b, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(x, film, dy, *weights)
-    return outs[0][:, :p_orig], outs[1], outs[2:]
+    if need_dx:
+        return outs[0][:, :p_orig], outs[1], outs[2:]
+    return None, outs[0], outs[1:]
 
 
 # ---------------------------------------------------------------------------
@@ -355,22 +367,24 @@ def _unpack_grads(dwords, params, use_dir):
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_film_apply(params, x, film, use_dir=True, bf16=True,
-                     interpret=False):
+                     interpret=False, need_dx=True):
     """Drop-in for FilmSirenNeRF.apply: x [B, ..., 6], film [B, 9, 512]
-    -> [B, ..., 4].  Differentiable in params, x and film."""
+    -> [B, ..., 4].  Differentiable in params, x and film.  need_dx=False
+    skips the input-grad matmuls/write in the backward (returns zeros for
+    dx) — only for callers whose x provably carries no gradient."""
     weights, x_pad, p = _prep(params, x, film, use_dir)
     out = _fused_forward(x_pad, film, weights, bf16, interpret)
     return out[:, :p, :4].reshape(*x.shape[:-1], 4)
 
 
-def _fwd_rule(params, x, film, use_dir, bf16, interpret):
-    return fused_film_apply(params, x, film, use_dir, bf16, interpret), \
-        (params, x, film)
+def _fwd_rule(params, x, film, use_dir, bf16, interpret, need_dx):
+    return fused_film_apply(params, x, film, use_dir, bf16, interpret,
+                            need_dx), (params, x, film)
 
 
-def _bwd_rule(use_dir, bf16, interpret, res, dy):
+def _bwd_rule(use_dir, bf16, interpret, need_dx, res, dy):
     params, x, film = res
     weights, x_pad, p = _prep(params, x, film, use_dir)
     b = film.shape[0]
@@ -378,8 +392,9 @@ def _bwd_rule(use_dir, bf16, interpret, res, dy):
     dy_pad = jnp.zeros((b, p_pad, OUT_PAD), jnp.float32)
     dy_pad = dy_pad.at[:, :p, :4].set(dy.reshape(b, -1, 4))
     dx_pad, dfilm, dwords = _fused_backward(x_pad, film, dy_pad, weights,
-                                            bf16, interpret)
-    dx = dx_pad[:, :p, :6].reshape(x.shape)
+                                            bf16, interpret, need_dx)
+    dx = (dx_pad[:, :p, :6].reshape(x.shape) if need_dx
+          else jnp.zeros_like(x))
     return _unpack_grads(dwords, params, use_dir), dx, dfilm
 
 

@@ -184,3 +184,51 @@ def test_fused_film_grads_match():
         scale = float(jnp.abs(a).max()) + 1e-8
         np.testing.assert_allclose(np.asarray(b_) / scale,
                                    np.asarray(a) / scale, atol=2e-4)
+
+
+def test_fused_film_need_dx_false_matches_param_film_grads():
+    """need_dx=False must reproduce the exact param/film grads while
+    returning zeros for dx (the generator's production configuration: x is
+    non-differentiable pose/ray data)."""
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.ops.pallas.film_mlp import fused_film_apply
+
+    t = pigan.FilmSirenNeRF()
+    p = t.init(jax.random.PRNGKey(0))
+    b = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 300, 6)) * 0.3
+    film = jax.random.normal(jax.random.PRNGKey(2), (b, 9, 512)) * 0.1 + \
+        jnp.concatenate([jnp.ones((b, 9, 256)), jnp.zeros((b, 9, 256))], -1)
+
+    loss_t = lambda p, x, f: (fused_film_apply(p, x, f, True, False, True,
+                                               True) ** 2).sum()
+    loss_f = lambda p, x, f: (fused_film_apply(p, x, f, True, False, True,
+                                               False) ** 2).sum()
+    g_t = jax.grad(loss_t, argnums=(0, 1, 2))(p, x, film)
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2))(p, x, film)
+    # params + film identical
+    for a, b_ in zip(jax.tree_util.tree_leaves((g_t[0], g_t[2])),
+                     jax.tree_util.tree_leaves((g_f[0], g_f[2]))):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-6)
+    # dx suppressed to zeros
+    assert float(jnp.abs(g_f[1]).max()) == 0.0
+    assert float(jnp.abs(g_t[1]).max()) > 0.0
+
+
+def test_film_apply_unbatched_film_broadcast():
+    """The documented broadcast contract: film [9, 512] conditioning
+    x [R, S, 6] must match the explicitly batched call — and must route to
+    the XLA path even when a kernel mode is requested (the kernels assume
+    the batched prefix layout; _kernel_batched guards them)."""
+    from msra_practice_project_tpu.models import pigan
+
+    t = pigan.FilmSirenNeRF()
+    p = t.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 6)) * 0.3
+    film = jax.random.normal(jax.random.PRNGKey(2), (9, 512)) * 0.1 + \
+        jnp.concatenate([jnp.ones((9, 256)), jnp.zeros((9, 256))], -1)
+    assert not t._kernel_batched(x, film)
+    assert t._kernel_batched(x[None], film[None])
+    out = t.apply(p, x, film)
+    ref = t.apply(p, x[None], film[None])[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
