@@ -31,3 +31,53 @@ def make_synthetic_sphere_cloud(n: int = 20000, radius: float = 0.6,
     v = rng.normal(size=(n, 3))
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     return np.concatenate([radius * v, v], axis=1).astype(np.float32)
+
+
+def load_dem_heightfield(extent: float = 0.7, z_scale: float = 0.2):
+    """Real-terrain heightfield from matplotlib's bundled Jacksboro Fault
+    DEM (USGS elevation data shipped offline with matplotlib).
+
+    Returns (height [H, W], x_lin [W], y_lin [H]): the elevation grid
+    normalised so x/y span [-extent, extent] and z spans 2*z_scale centred
+    at 0 — a well-conditioned open surface for the SDF pipeline (the same
+    oriented-point-cloud contract as the reference's .mat scenes,
+    siren/train_sdf.py:32).
+    """
+    import matplotlib.cbook as cbook
+
+    path = cbook.get_sample_data("jacksboro_fault_dem.npz", asfileobj=False)
+    with np.load(path) as d:
+        elev = np.asarray(d["elevation"], dtype=np.float32)
+    h, w = elev.shape
+    height = (elev - elev.min()) / (elev.max() - elev.min())  # [0, 1]
+    height = (height - 0.5) * (2.0 * z_scale)
+    x_lin = np.linspace(-extent, extent, w, dtype=np.float32)
+    y_lin = np.linspace(-extent, extent, h, dtype=np.float32)
+    return height, x_lin, y_lin
+
+
+def make_dem_cloud(n: int = 60000, seed: int = 0, extent: float = 0.7,
+                   z_scale: float = 0.2) -> np.ndarray:
+    """[N, 6] oriented point cloud sampled from the real-terrain DEM.
+
+    Surface points (x, y, h(x, y)) at continuous bilinear positions with
+    normals from the height gradient: n ∝ (-∂h/∂x, -∂h/∂y, 1).
+    """
+    from scipy.ndimage import map_coordinates
+
+    height, x_lin, y_lin = load_dem_heightfield(extent, z_scale)
+    h, w = height.shape
+    gy, gx = np.gradient(height, y_lin, x_lin)
+    rng = np.random.default_rng(seed)
+    rows = rng.uniform(0, h - 1, size=n)
+    cols = rng.uniform(0, w - 1, size=n)
+    coords = np.stack([rows, cols])
+    z = map_coordinates(height, coords, order=1)
+    gxs = map_coordinates(gx, coords, order=1)
+    gys = map_coordinates(gy, coords, order=1)
+    x = x_lin[0] + (x_lin[-1] - x_lin[0]) * cols / (w - 1)
+    y = y_lin[0] + (y_lin[-1] - y_lin[0]) * rows / (h - 1)
+    normal = np.stack([-gxs, -gys, np.ones_like(gxs)], axis=1)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    pos = np.stack([x, y, z], axis=1)
+    return np.concatenate([pos, normal], axis=1).astype(np.float32)

@@ -178,3 +178,32 @@ def test_point_cloud_roundtrip(tmp_path):
     scipy.io.savemat(pm, {"p": cloud})
     back = pointcloud.load_point_cloud(pm)
     np.testing.assert_allclose(back, cloud, atol=1e-6)
+
+
+def test_dem_cloud_real_terrain():
+    """make_dem_cloud samples the REAL bundled Jacksboro Fault DEM: points
+    must lie exactly on the (bilinear) heightfield, normals unit-length and
+    consistent with the height gradient (upward-facing), and the whole
+    cloud loadable through the standard .npz data_path pipeline."""
+    from scipy.interpolate import RegularGridInterpolator
+
+    cloud = pointcloud.make_dem_cloud(n=5000, extent=0.7, z_scale=0.2)
+    assert cloud.shape == (5000, 6) and cloud.dtype == np.float32
+    pos, nrm = cloud[:, :3], cloud[:, 3:]
+    assert np.abs(pos[:, 0]).max() <= 0.7 + 1e-6
+    assert np.abs(pos[:, 1]).max() <= 0.7 + 1e-6
+    assert np.abs(pos[:, 2]).max() <= 0.2 + 1e-6
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, rtol=1e-5)
+    assert (nrm[:, 2] > 0).all()  # heightfield normals face up
+    height, x_lin, y_lin = pointcloud.load_dem_heightfield(0.7, 0.2)
+    interp = RegularGridInterpolator((y_lin, x_lin), height)
+    z_true = interp(np.stack([pos[:, 1], pos[:, 0]], axis=1))
+    np.testing.assert_allclose(pos[:, 2], z_true, atol=2e-6)
+
+
+def test_dem_cloud_loads_via_npz(tmp_path):
+    cloud = pointcloud.make_dem_cloud(n=100)
+    p = tmp_path / "dem.npz"
+    np.savez(p, p=cloud)
+    loaded = pointcloud.load_point_cloud(str(p))
+    np.testing.assert_array_equal(loaded, cloud)

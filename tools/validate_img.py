@@ -23,9 +23,23 @@ from msra_practice_project_tpu.core.config import SIREN_IMG_DEFAULTS, resolve
 from msra_practice_project_tpu.train.train_img import render_grid, train
 
 BARS_DB = {"siren": 40.0, "relu_pe": 28.0}
+# Real-photo bars (grace_hopper.jpg, 512x600): a natural photograph has far
+# more high-frequency content than the band-limited synthetic target, so the
+# bars are lower at the same iteration count.
+BARS_REAL_DB = {"siren": 30.0, "relu_pe": 22.0}
 
 
-def run_one(model_type: str, iterations: int, size: int) -> float:
+def real_photo_path() -> str:
+    """A REAL photograph shipped offline: matplotlib's bundled
+    grace_hopper.jpg (the reference's workload is the same single-photo
+    regression on cameraman.jpg, siren/train_img.py:32)."""
+    import matplotlib.cbook as cbook
+
+    return cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)
+
+
+def run_one(model_type: str, iterations: int, size: int,
+            data_path: str = "/nonexistent") -> float:
     exp = f"exp_{model_type}"
     # fresh run every time — a stale ckpt at `iterations` would resume into
     # a 0-step no-op and silently validate the previous build
@@ -33,7 +47,7 @@ def run_one(model_type: str, iterations: int, size: int) -> float:
     cfg = resolve({
         "output_path": "/tmp/img_validate", "experiment_name": exp,
         "model_type": model_type, "iterations": iterations,
-        "batch_size": 16384, "data_size": size,
+        "batch_size": 16384, "data_size": size, "data_path": data_path,
         "i_print": max(iterations // 4, 1), "i_save": iterations,
         "i_image": iterations,
     }, SIREN_IMG_DEFAULTS)
@@ -45,21 +59,30 @@ def run_one(model_type: str, iterations: int, size: int) -> float:
     target = np.asarray(out["image"])[..., 0]
     psnr = -10.0 * np.log10(np.mean((recon - target) ** 2))
     print(f"[validate] {model_type}: full-grid PSNR {psnr:.1f} dB "
-          f"(bar {BARS_DB[model_type]})")
+          f"({target.shape[0]}x{target.shape[1]} target)")
     return float(psnr)
 
 
-def main(iterations=1500, size=64):
+def main(iterations=1500, size=64, real=False):
+    bars = BARS_REAL_DB if real else BARS_DB
+    data_path = real_photo_path() if real else "/nonexistent"
+    if real:
+        print(f"[validate] REAL photo target: {data_path}")
     ok = True
-    for model_type, bar in BARS_DB.items():
-        psnr = run_one(model_type, iterations, size)
+    for model_type, bar in bars.items():
+        psnr = run_one(model_type, iterations, size, data_path)
+        print(f"[validate] {model_type}: bar {bar} dB")
         ok = ok and psnr > bar
     print("[validate]", "PASS" if ok else "FAIL",
-          f"(siren > {BARS_DB['siren']} dB, relu_pe > "
-          f"{BARS_DB['relu_pe']} dB full-grid reconstruction)")
+          f"(siren > {bars['siren']} dB, relu_pe > "
+          f"{bars['relu_pe']} dB full-grid reconstruction"
+          f"{' on a real photograph' if real else ''})")
     return ok
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1500,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+    argv = [a for a in sys.argv[1:] if a != "--real"]
+    ok = main(int(argv[0]) if len(argv) > 0 else 1500,
+              int(argv[1]) if len(argv) > 1 else 64,
+              real="--real" in sys.argv[1:])
+    sys.exit(0 if ok else 1)
