@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from PIL import Image
 
 from msra_practice_project_tpu.core import image_io, metrics
 from msra_practice_project_tpu.core.config import (
@@ -100,6 +101,7 @@ def analytic_field(x):
 
 
 SCENES = {"easy": analytic_field, "hard": analytic_field_hard}
+_SPLIT_ID = {"train": 0, "val": 1, "test": 2}
 
 
 def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
@@ -112,20 +114,26 @@ def make_dataset(out_dir: str, size: int, n_train=30, n_val=5, n_test=5,
     for split, n in [("train", n_train), ("val", n_val), ("test", n_test)]:
         frames = []
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
-        for i in range(n):
-            theta = float(rng.uniform(-180, 180))
-            phi = float(rng.uniform(-60, -5))
-            c2w = np.asarray(ray_ops.camera_pose_deg(4.0, theta, phi))
-            rgb, _, acc = render_image(
-                jax.random.fold_in(key, hash((split, i)) % (2**31)),
-                size, size, focal, jnp.asarray(c2w), 2.0, 6.0, f, f, 64, 128)
-            rgba = np.concatenate(
-                [np.asarray(rgb), np.asarray(acc)], axis=-1)
+        for i, (theta, phi) in enumerate(
+                zip(rng.uniform(-180, 180, n), rng.uniform(-60, -5, n))):
+            c2w = np.asarray(ray_ops.camera_pose_deg(4.0, float(theta),
+                                                     float(phi)))
+            # GT rendered WITHOUT the white background and stored as
+            # straight-alpha RGBA: the blender loader re-composites
+            # rgb*a + (1-a), so storing an already-white-composited rgb
+            # would double-composite (biasing every 0<acc<1 pixel toward
+            # white).  Keys fold deterministic ints (hash() is salted per
+            # interpreter — it would make the "analytic GT" irreproducible).
+            rgb_pm, _, acc = render_image(
+                jax.random.fold_in(jax.random.fold_in(key, _SPLIT_ID[split]),
+                                   i),
+                size, size, focal, jnp.asarray(c2w), 2.0, 6.0, f, f, 64, 128,
+                white_bkgd=False)
+            rgb_pm, acc = np.asarray(rgb_pm), np.asarray(acc)
+            straight = rgb_pm / np.maximum(acc, 1e-6)
+            rgba = np.concatenate([straight, acc], axis=-1)
             img8 = (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
             rel = f"./{split}/r_{i}"
-            image_io.imwrite(os.path.join(out_dir, rel + ".png"), img8) \
-                if False else None
-            from PIL import Image
             Image.fromarray(img8, "RGBA").save(
                 os.path.join(out_dir, rel + ".png"))
             m = np.linalg.inv(BLENDER_COORD) @ c2w
@@ -143,10 +151,11 @@ def main(iterations=3000, size=64, scene="easy", use_siren=False):
     from msra_practice_project_tpu.train import train_nerf
 
     base = "/tmp/nerf_validate"
-    data_dir = os.path.join(base, f"data_{scene}" if scene != "easy"
-                            else "data")
+    # cache key includes the resolution — a stale dataset at another size
+    # would silently override the CLI argument
+    data_dir = os.path.join(base, f"data_{scene}_{size}")
     if not os.path.exists(os.path.join(data_dir, "transforms_train.json")):
-        print(f"[validate] rendering analytic dataset ({scene})...")
+        print(f"[validate] rendering analytic dataset ({scene}, {size}^2)...")
         make_dataset(data_dir, size, scene=scene)
 
     exp = f"exp_{scene}" + ("_siren" if use_siren else "")
@@ -211,13 +220,20 @@ if __name__ == "__main__":
     use_siren = "--siren" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--scene"):
-            scene = a.split("=", 1)[1] if "=" in a else "hard"
+            if "=" not in a:
+                raise SystemExit("usage: --scene=easy|hard (got bare "
+                                 f"{a!r})")
+            scene = a.split("=", 1)[1]
         elif a in SCENES:
             scene = a
             args.remove(a)
         elif a == "siren":
             use_siren = True
             args.remove(a)
+    if scene not in SCENES:
+        raise SystemExit(f"unknown scene {scene!r}; choose from "
+                         f"{sorted(SCENES)}")
     its = int(args[0]) if len(args) > 0 else 3000
     size = int(args[1]) if len(args) > 1 else 64
-    main(its, size, scene, use_siren)
+    results = main(its, size, scene, use_siren)
+    sys.exit(0 if results["test"][0] > 28.0 else 1)
