@@ -212,3 +212,22 @@ def test_pigan_synthesis_multistep_matches_single(pigan_exp, monkeypatch):
         c["steps_per_call"] = k
         outs[k] = synthesis.synthesize(Config(c))["loss_log"]
     np.testing.assert_allclose(outs[1], outs[4], rtol=1e-6)
+
+
+def test_test_nerf_sweep_with_watchdog(tmp_path):
+    """A config carrying watchdog_timeout must arm (and cleanly disarm) the
+    eval sweep's per-view watchdog — the soak's phase C runs exactly this
+    configuration under the supervisor."""
+    from msra_practice_project_tpu.eval import test_nerf
+    from msra_practice_project_tpu.train import train_nerf
+
+    cfg = resolve({
+        "output_path": str(tmp_path), "experiment_name": "exp",
+        "data_path": "/nonexistent", "iterations": 4, "batch_size": 32,
+        "start_up_itrs": 0, "render_coarse_sample_num": 4,
+        "render_fine_sample_num": 4, "i_print": 100, "i_save": 4,
+        "i_image": 100, "data_size": 12, "watchdog_timeout": 600,
+    }, NERF_TRAIN_DEFAULTS)
+    train_nerf.train(cfg)
+    data = test_nerf.run(str(tmp_path / "exp"), 4, max_views=1)
+    assert np.isfinite(data["psnr"]["train"]).all()
