@@ -42,13 +42,26 @@ def _load_native():
     if _native is not None:
         return _native if _native is not False else None
     src = os.path.join(_NATIVE_DIR, "mesh_kernels.cpp")
+
+    def build():
+        # compile to a temp path + atomic rename: a killed/raced g++ must
+        # never leave a truncated .so that permanently disables the native
+        # backend (CDLL would fail on it and we'd silently go numpy forever)
+        tmp = f"{_NATIVE_LIB}.{os.getpid()}.tmp"
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _NATIVE_LIB)
+
     try:
         if not os.path.exists(_NATIVE_LIB) and os.path.exists(src):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _NATIVE_LIB, src],
-                check=True, capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_NATIVE_LIB)
+            build()
+        try:
+            lib = ctypes.CDLL(_NATIVE_LIB)
+        except OSError:
+            # stale/corrupt artifact from an older build: rebuild once
+            build()
+            lib = ctypes.CDLL(_NATIVE_LIB)
         lib.mt_extract.restype = ctypes.c_int
         lib.mt_extract.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -94,7 +107,7 @@ def _marching_tetrahedra_native(values, level, spacing, origin):
     finally:
         lib.mt_free(vptr)
         lib.mt_free(fptr)
-    return verts.astype(np.float32), faces.astype(np.int32)
+    return verts, faces  # already float32/int32 copies
 
 # Cube corners in (x, y, z) offset order.
 _CUBE = np.array(
@@ -161,6 +174,8 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
     Returns (verts [V,3] float32 in world units, faces [F,3] int32).
     Uses the native C++ backend when available (same algorithm).
     """
+    spacing = np.broadcast_to(np.asarray(spacing, np.float32), (3,))
+    origin = np.broadcast_to(np.asarray(origin, np.float32), (3,))
     if use_native:
         out = _marching_tetrahedra_native(values, level, spacing, origin)
         if out is not None:
@@ -190,16 +205,10 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
     flat = values.reshape(-1)
     corner_val = flat[corner_id]  # [M, 8]
 
-    # Expand to tets: [M, 6, 4] local cube-corner indices -> values/ids.
-    tet_corner = _TETS[None, :, :]  # [1, 6, 4]
-    tv = np.take_along_axis(
-        corner_val[:, None, :].repeat(6, axis=1), tet_corner, axis=2
-    )  # [M, 6, 4]
-    tid = np.take_along_axis(
-        corner_id[:, None, :].repeat(6, axis=1), tet_corner, axis=2
-    )  # [M, 6, 4]
-    tv = tv.reshape(-1, 4)    # [T, 4]
-    tid = tid.reshape(-1, 4)  # [T, 4]
+    # Expand to tets via fancy indexing: [M, 6, 4] local cube-corner
+    # indices -> values/ids (no [M, 6, 8] repeat temporaries).
+    tv = corner_val[:, _TETS].reshape(-1, 4)    # [T, 4]
+    tid = corner_id[:, _TETS].reshape(-1, 4)    # [T, 4]
 
     case = (
         (tv[:, 0] < level).astype(np.int64)
@@ -242,7 +251,8 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
     ga_f, gb_f = ga.reshape(-1)[first], gb.reshape(-1)[first]
     va_f, vb_f = va.reshape(-1)[first], vb.reshape(-1)[first]
     denom = vb_f - va_f
-    t = np.where(np.abs(denom) < 1e-12, 0.5, (level - va_f) / np.where(denom == 0, 1, denom))
+    tiny = np.abs(denom) < 1e-12
+    t = np.where(tiny, 0.5, (level - va_f) / np.where(tiny, 1.0, denom))
     t = np.clip(t, 0.0, 1.0)
 
     def id_to_xyz(gid):
@@ -252,7 +262,7 @@ def marching_tetrahedra(values: np.ndarray, level: float = 0.0,
 
     pa, pb = id_to_xyz(ga_f), id_to_xyz(gb_f)
     verts = pa + t[:, None] * (pb - pa)
-    verts = verts * np.asarray(spacing, np.float32) + np.asarray(origin, np.float32)
+    verts = verts * spacing + origin
 
     # Drop degenerate faces (two corners on the same unique edge-vertex).
     good = (
@@ -313,7 +323,11 @@ def read_ply(path: str):
     faces = np.zeros((nf, 3), np.int32)
     for i in range(nf):
         (n,) = struct.unpack_from("<B", data, off)
-        faces[i] = struct.unpack_from(f"<{n}i", data, off + 1)[:3]
+        if n != 3:
+            raise ValueError(
+                f"read_ply only supports triangle meshes; face {i} has "
+                f"{n} vertices")
+        faces[i] = struct.unpack_from("<3i", data, off + 1)
         off += 1 + 4 * n
     return verts, faces
 

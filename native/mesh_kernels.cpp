@@ -72,7 +72,7 @@ struct Extractor {
 
     float va = val(ga), vb = val(gb);
     float denom = vb - va;
-    float t = (denom == 0.0f || (denom < 1e-12f && denom > -1e-12f))
+    float t = (denom < 1e-12f && denom > -1e-12f)
                   ? 0.5f
                   : (level - va) / denom;
     if (t < 0.0f) t = 0.0f;
@@ -94,7 +94,6 @@ struct Extractor {
   void run() {
     for (int64_t x = 0; x < nx - 1; ++x) {
       for (int64_t y = 0; y < ny - 1; ++y) {
-        const float* row = v + x * ny * nz + y * nz;
         for (int64_t z = 0; z < nz - 1; ++z) {
           // corner values + global ids
           float cv[8];
@@ -129,7 +128,6 @@ struct Extractor {
               }
             }
           }
-          (void)row;
         }
       }
     }

@@ -219,6 +219,45 @@ def test_native_mesh_matches_numpy():
     np.testing.assert_allclose(sn, s2, atol=1e-4)
 
 
+def test_marching_tetrahedra_scalar_args():
+    """Scalar spacing/origin must work on BOTH backends (the native path
+    used to TypeError on non-subscriptables while numpy broadcast them)."""
+    g = np.linalg.norm(np.mgrid[-1:1:16j, -1:1:16j, -1:1:16j],
+                       axis=0).astype(np.float32) - 0.6
+    for use_native in (True, False):
+        v, f = mesh.marching_tetrahedra(g, 0.0, spacing=0.5, origin=0.25,
+                                        use_native=use_native)
+        assert v.shape[0] > 0 and f.shape[0] > 0
+
+
+def test_native_rebuilds_from_corrupt_so(tmp_path):
+    """A truncated/corrupt .so (killed g++, racing builders) must trigger a
+    rebuild in a fresh process, not a silent permanent numpy fallback."""
+    import subprocess
+    import sys
+
+    if mesh._load_native() is None:
+        import pytest
+        pytest.skip("native backend unavailable")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        f"import sys; sys.path.insert(0, {repo!r});"
+        "import numpy as np;"
+        "from msra_practice_project_tpu.core import mesh;"
+        "open(mesh._NATIVE_LIB, 'wb').write(b'garbage');"
+        "g = np.linalg.norm(np.mgrid[-1:1:12j,-1:1:12j,-1:1:12j],"
+        "axis=0).astype(np.float32) - 0.6;"
+        "v, f = mesh.marching_tetrahedra(g, 0.0);"
+        "assert mesh._native not in (None, False), 'no rebuild';"
+        "print('REBUILT', v.shape[0])"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "REBUILT" in r.stdout
+
+
 def test_lpips_structure(rng):
     """LPIPS machinery: zero self-distance, positive for perturbed images,
     torch-roundtrip weight loading."""
