@@ -138,7 +138,7 @@ class ImageFolder:
 
 
 def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
-                         shaded: bool = True):
+                         shaded: bool = True, variant: str | None = None):
     """CelebA stand-in for tests/smoke/validation runs.
 
     With `shaded=True` (default) every image is a view of a coloured
@@ -151,10 +151,19 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
     tying appearance to pose, and yaw-consistency checks measure real 3D
     structure (VERDICT r2 weak #6).  `shaded=False` keeps the flat Gaussian
     blobs (fastest smoke data).
+
+    `variant` overrides the bool: "blobs" | "shaded" | "face".  "face" adds
+    eye/mouth albedo features at FIXED world-frame directions on the head:
+    as the camera yaws they traverse the face exactly like features on a
+    real head — a stronger 3D cue than shading alone, while the silhouette
+    stays the soft Gaussian (hard silhouettes measured unlearnable in
+    smoke-gate budgets).
     """
+    if variant is None:
+        variant = "shaded" if shaded else "blobs"
     rng = np.random.default_rng(seed)
     os.makedirs(tmp_dir, exist_ok=True)
-    if not shaded:
+    if variant == "blobs":
         yy, xx = np.mgrid[0:size, 0:size] / (size - 1)
         for i in range(n):
             cx, cy = rng.uniform(0.3, 0.7, 2)
@@ -205,7 +214,28 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
         rot_x = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
         l_cam = rot_x @ (rot_y @ light)
         shade = np.clip(normals @ l_cam, 0.0, 1.0)
-        fg = col * (0.35 + 0.65 * shade[..., None])
+        albedo = np.broadcast_to(col, (*shade.shape, 3)).copy()
+        if variant == "face":
+            # Features live at fixed WORLD-frame directions on the head:
+            # n_world = (rot_x @ rot_y)^T n_cam.  dot(n_world, feature_dir)
+            # peaks where the feature faces the camera, so eyes/mouth
+            # traverse the face with yaw/pitch exactly like a real head's.
+            rot = rot_x @ rot_y
+            n_world = normals @ rot  # == normals @ (rot^T)^T
+            ex = rng.uniform(0.28, 0.42)
+            ey = rng.uniform(0.08, 0.22)
+            feats = [np.array([s * ex, ey, np.sqrt(max(
+                1 - (s * ex) ** 2 - ey ** 2, 0.0))]) for s in (-1, 1)]
+            mouth_y = rng.uniform(-0.45, -0.3)
+            feats.append(np.array([0.0, mouth_y,
+                                   np.sqrt(max(1 - mouth_y ** 2, 0.0))]))
+            sig = [0.12, 0.12, 0.16]
+            dark = rng.uniform(0.55, 0.8)
+            for fdir, s_ in zip(feats, sig):
+                d2 = np.clip(1.0 - n_world @ fdir, 0.0, None)
+                mask = np.exp(-d2 / (2 * s_ ** 2))
+                albedo = albedo * (1.0 - dark * mask[..., None])
+        fg = albedo * (0.35 + 0.65 * shade[..., None])
         img = alpha[..., None] * fg + (1 - alpha[..., None]) * 0.9
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(tmp_dir, f"{i:05d}.png"))

@@ -198,7 +198,9 @@ def train(config) -> dict:
                   "face blobs")
         data_path = os.path.join(log_path, "_synthetic_faces")
         if not os.path.isdir(data_path):
-            make_synthetic_faces(data_path, n=config.get("data_n", 256))
+            make_synthetic_faces(
+                data_path, n=config.get("data_n", 256),
+                variant=config.get("data_variant", "shaded"))
 
     stage = stage_of(global_step, iterations)
     dataset = ImageFolder(data_path, batch_sizes[stage],

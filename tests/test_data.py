@@ -207,3 +207,35 @@ def test_dem_cloud_loads_via_npz(tmp_path):
     np.savez(p, p=cloud)
     loaded = pointcloud.load_point_cloud(str(p))
     np.testing.assert_array_equal(loaded, cloud)
+
+
+def test_synthetic_faces_variants(tmp_path):
+    """All three dataset variants render; the face variant adds dark
+    eye/mouth albedo features (deterministic per seed) on top of the shaded
+    head, keeping the soft silhouette."""
+    from PIL import Image
+
+    arrs = {}
+    for v in ("blobs", "shaded", "face"):
+        d = tmp_path / v
+        image_folder.make_synthetic_faces(str(d), n=4, size=32, seed=5,
+                                          variant=v)
+        arrs[v] = np.stack([
+            np.asarray(Image.open(d / f"{i:05d}.png"), np.float32) / 255.0
+            for i in range(4)])
+    for v, a in arrs.items():
+        assert a.shape == (4, 32, 32, 3) and np.isfinite(a).all()
+    # the first image shares its pose/colour draws with the shaded variant
+    # (feature params are drawn after them), so the features can only
+    # DARKEN it — and substantially
+    diff = arrs["shaded"][0] - arrs["face"][0]
+    assert diff.min() >= -0.005          # face only removes light
+    assert diff.max() > 0.1              # ...and does so substantially
+    # determinism
+    d2 = tmp_path / "face2"
+    image_folder.make_synthetic_faces(str(d2), n=4, size=32, seed=5,
+                                      variant="face")
+    again = np.stack([
+        np.asarray(Image.open(d2 / f"{i:05d}.png"), np.float32) / 255.0
+        for i in range(4)])
+    np.testing.assert_array_equal(again, arrs["face"])
