@@ -240,11 +240,15 @@ def test_native_rebuilds_from_corrupt_so(tmp_path):
         import pytest
         pytest.skip("native backend unavailable")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # corrupt a PRIVATE lib path: truncating the real .so in place would
+    # corrupt the pages other processes (this pytest!) have mmap'd
+    priv = str(tmp_path / "libmesh_private.so")
     code = (
         "import os; os.environ['JAX_PLATFORMS']='cpu';"
         f"import sys; sys.path.insert(0, {repo!r});"
         "import numpy as np;"
         "from msra_practice_project_tpu.core import mesh;"
+        f"mesh._NATIVE_LIB = {priv!r};"
         "open(mesh._NATIVE_LIB, 'wb').write(b'garbage');"
         "g = np.linalg.norm(np.mgrid[-1:1:12j,-1:1:12j,-1:1:12j],"
         "axis=0).astype(np.float32) - 0.6;"
