@@ -48,7 +48,7 @@ def sample(generator, g_params, key, n, res):
 
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
-         resume=False):
+         resume=False, variant="shaded"):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -58,7 +58,8 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     batch 64, pi_GAN/configs/test.json); stage 1 stays at 16."""
     two_stage = stage1_iters > 0
     base = "/tmp/pigan_validate"
-    name = "exp2" if two_stage else "exp"
+    name = ("exp2" if two_stage else "exp") + \
+        ("" if variant == "shaded" else f"_{variant}")
     # A supervised RESTART (tools/supervise.py re-running us after a
     # watchdog exit) must resume even when the original argv lacked
     # --resume — wiping the experiment dir here would restart the long run
@@ -88,7 +89,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         # i_save divides the watchdog-restart replay loss (a wedge costs at
         # most total/10 steps of recompute, ~140 MB per ckpt)
         "i_print": max(total // 5, 1), "i_save": max(total // 10, 1),
-        "i_image": total, "data_n": data_n,
+        "i_image": total, "data_n": data_n, "data_variant": variant,
         # long-horizon runs hit real tunnel wedges (BASELINE 30k row):
         # stall > 15 min -> exit 17; restart with --resume (or supervise.py)
         "watchdog_timeout": 900, **schedule,
@@ -212,12 +213,13 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--resume"]
+    argv = [a for a in sys.argv[1:] if a not in ("--resume", "--face")]
     resume = "--resume" in sys.argv[1:]
+    variant = "face" if "--face" in sys.argv[1:] else "shaded"
     its = int(argv[0]) if len(argv) > 0 else 1200
     s1 = int(argv[1]) if len(argv) > 1 else 0
     fade = int(argv[2]) if len(argv) > 2 else 200
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
-    ok = main(its, s1, fade, batch0, data_n, resume)
+    ok = main(its, s1, fade, batch0, data_n, resume, variant)
     sys.exit(0 if ok else 1)
