@@ -37,18 +37,27 @@ def _sigma_slice(trunk_params, film, x_coord, *, trunk_apply, n: int):
 
 
 def extract_mesh(generator, g_params, key, filename: str, n: int = 256,
-                 level: float = LEVEL):
+                 level: float = LEVEL, watchdog=None):
     film = generator.get_mapping(
         g_params, jax.random.normal(key, (1, generator.cfg.z_dim)))
     xs = np.linspace(-BOUND, BOUND, n)
     values = np.empty((n, n, n), np.float32)
     for i, x in enumerate(xs):
+        if watchdog is not None:
+            watchdog.beat(f"sigma slice {i}/{n}")
         values[i] = np.asarray(_sigma_slice(
             g_params["trunk"], film, jnp.float32(x),
             trunk_apply=generator.trunk.apply, n=n))
     voxel_size = 2 * BOUND / (n - 1)
-    verts, faces = mesh_lib.extract_mesh_from_grid(
-        values, level, (-BOUND,) * 3, voxel_size, filename + ".ply")
+    if watchdog is not None:
+        # host-side marching can legitimately exceed the heartbeat
+        watchdog.pause()
+    try:
+        verts, faces = mesh_lib.extract_mesh_from_grid(
+            values, level, (-BOUND,) * 3, voxel_size, filename + ".ply")
+    finally:
+        if watchdog is not None:
+            watchdog.resume()
     if verts.shape[0] == 0:
         # values holds -sigma; an isosurface at level=-20 needs sigma to
         # cross 20 inside the +-BOUND cube (true for the reference's fully
@@ -62,7 +71,8 @@ def extract_mesh(generator, g_params, key, filename: str, n: int = 256,
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    config = common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS)
+    from .pigan_demo import _eval_watchdog, resolve_saved
+    config = resolve_saved(common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS))
     n = int(argv[1]) if len(argv) > 1 else 256
     # Optional marching level (on -sigma).  The reference hardcodes -20
     # (pi_GAN/utils.py:135-137), calibrated for its fully-converged face
@@ -70,9 +80,13 @@ def main(argv=None):
     # (the empty-isosurface diagnostic prints that range).
     level = float(argv[2]) if len(argv) > 2 else LEVEL
     generator, _, state, step = load_generator(config)
+    os.makedirs(log_dir(config), exist_ok=True)
     out = os.path.join(log_dir(config), f"mesh_{step:06d}")
+    watchdog = _eval_watchdog(config)
     verts, faces = extract_mesh(generator, state["g"]["params"],
-                                jax.random.PRNGKey(7), out, n=n, level=level)
+                                jax.random.PRNGKey(7), out, n=n, level=level,
+                                watchdog=watchdog)
+    watchdog.stop()
     print(f"mesh: {verts.shape[0]} verts, {faces.shape[0]} faces -> "
           f"{out}.ply")
 

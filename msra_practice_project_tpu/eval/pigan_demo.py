@@ -26,10 +26,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import ckpt as ckpt_lib
-from ..core import image_io
+from ..core import diagnostics, image_io
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir
 from ..models import pigan
 from ..train import common
+
+
+def resolve_saved(config):
+    """Prefer the train-resolved config.json written into the experiment
+    dir (the reference's reproducibility mechanism; the NeRF eval path does
+    the same via nerf_common.load_experiment).  Without this, train-time
+    key=value CLI overrides (render_far=..., use_dir=...) are silently lost
+    at eval and the generator is rebuilt from the defaults table."""
+    saved = os.path.join(log_dir(config), "config.json")
+    if os.path.exists(saved):
+        return common.parse_cli([saved], PIGAN_TRAIN_DEFAULTS)
+    return config
+
+
+def _eval_watchdog(config):
+    """Arm the experiment's watchdog for long demo renders (same 900 s
+    floor rationale as eval/test_nerf.py: the first render pays the cold
+    remote compile)."""
+    t = float(config.get("watchdog_timeout", 0.0) or 0.0)
+    return diagnostics.Watchdog(max(t, 900.0) if t > 0 else 0.0,
+                                log_dir(config))
 
 DEMO_RES = 128
 DEMO_COARSE, DEMO_FINE = 32, 64
@@ -49,10 +70,12 @@ def _chunk_size(resolution, coarse, fine):
 
 
 def _render_chunked(generator, g_params, key, film, theta, phi, resolution,
-                    coarse, fine, fov=None):
+                    coarse, fine, fov=None, beat=None):
     c = _chunk_size(resolution, coarse, fine)
     outs = []
     for lo in range(0, film.shape[0], c):
+        if beat is not None:
+            beat(f"render chunk {lo}/{film.shape[0]}")
         outs.append(np.asarray(generator.render_film(
             g_params, jax.random.fold_in(key, 7000 + lo),
             film[lo:lo + c], theta[lo:lo + c], phi[lo:lo + c],
@@ -75,7 +98,7 @@ def render_films(generator, g_params, key, film, poses, resolution=DEMO_RES,
         f = float(pose[2]) if len(pose) >= 3 else fov
         img = _render_chunked(generator, g_params,
                               jax.random.fold_in(key, i), film, theta, phi,
-                              resolution, coarse, fine, f)
+                              resolution, coarse, fine, f, beat=beat)
         out.append(img)
     return np.stack(out, axis=1)
 
@@ -87,7 +110,7 @@ def _grid(imgs_2d):
 
 
 def save_demo(generator, g_params, key, file_name, rows=8, columns=8,
-              resolution=64, coarse=DEMO_COARSE, fine=DEMO_FINE):
+              resolution=64, coarse=DEMO_COARSE, fine=DEMO_FINE, beat=None):
     """Random-sample grid at *random* prior poses (ref: pi_GAN/utils.py:185-204)."""
     num = rows * columns
     kz, kp, kr = jax.random.split(key, 3)
@@ -95,7 +118,7 @@ def save_demo(generator, g_params, key, file_name, rows=8, columns=8,
     film = generator.get_mapping(g_params, z)
     theta, phi = generator.sample_poses(kp, num)
     imgs = _render_chunked(generator, g_params, kr, film, theta, phi,
-                           resolution, coarse, fine)
+                           resolution, coarse, fine, beat=beat)
     image_io.imwrite(file_name, _grid(imgs.reshape(rows, columns,
                                                    *imgs.shape[1:])))
 
@@ -128,7 +151,7 @@ def demo_video(generator, g_params, key, file_name, poses, film=None,
 
 def demo_interpolate(generator, g_params, key, file_name, cols,
                      pose=(0.0, 0.0), resolution=DEMO_RES,
-                     coarse=DEMO_COARSE, fine=DEMO_FINE):
+                     coarse=DEMO_COARSE, fine=DEMO_FINE, beat=None):
     """z-space (top row) vs film/w-space (bottom row) interpolation
     (ref: pi_GAN/utils.py:246-272)."""
     z2 = jax.random.normal(jax.random.fold_in(key, 0),
@@ -140,15 +163,17 @@ def demo_interpolate(generator, g_params, key, file_name, cols,
     film_w = f2[0][None] * (1 - k[:, None, None]) + \
         f2[1][None] * k[:, None, None]
     row_z = render_films(generator, g_params, jax.random.fold_in(key, 1),
-                         film_z, [pose], resolution, coarse, fine)[:, 0]
+                         film_z, [pose], resolution, coarse, fine,
+                         beat=beat)[:, 0]
     row_w = render_films(generator, g_params, jax.random.fold_in(key, 1),
-                         film_w, [pose], resolution, coarse, fine)[:, 0]
+                         film_w, [pose], resolution, coarse, fine,
+                         beat=beat)[:, 0]
     image_io.imwrite(file_name, _grid(np.stack([row_z, row_w])))
 
 
 def demo_style_mix(generator, g_params, key, file_name, rows,
                    pose=(0.0, 0.0), resolution=DEMO_RES,
-                   coarse=DEMO_COARSE, fine=DEMO_FINE):
+                   coarse=DEMO_COARSE, fine=DEMO_FINE, beat=None):
     """Crossover film codes at layer k for k=9..0 (ref: pi_GAN/utils.py:275-295)."""
     num = 2 * rows
     z = jax.random.normal(jax.random.fold_in(key, 0),
@@ -163,7 +188,8 @@ def demo_style_mix(generator, g_params, key, file_name, rows,
             mixes.append(mixed)
         mixed_film = jnp.stack(mixes)
         row = render_films(generator, g_params, jax.random.fold_in(key, i + 1),
-                           mixed_film, [pose], resolution, coarse, fine)[:, 0]
+                           mixed_film, [pose], resolution, coarse, fine,
+                           beat=beat)[:, 0]
         grid_rows.append(row)
     image_io.imwrite(file_name, _grid(np.stack(grid_rows)))
 
@@ -198,33 +224,43 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     config = common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS)
     mode = int(argv[1]) if len(argv) > 1 else 0
+    config = resolve_saved(config)
     generator, _, state, step = load_generator(config)
     g_params = state["g"]["params"]
     log_path = log_dir(config)
+    os.makedirs(log_path, exist_ok=True)  # fresh-init path has no dir yet
+    watchdog = _eval_watchdog(config)
+    beat = watchdog.beat
     key = jax.random.PRNGKey(42)
     out = os.path.join(log_path, f"demo_{mode}")
 
     n_pose = 9
     if mode == 0:
-        save_demo(generator, g_params, key, out + ".png")
+        save_demo(generator, g_params, key, out + ".png", beat=beat)
     elif mode == 1:
         poses = [(0.15 * (i - (n_pose - 1) / 2), 0.0) for i in range(n_pose)]
-        demo_multiview(generator, g_params, key, out + ".png", poses)
+        demo_multiview(generator, g_params, key, out + ".png", poses,
+                       beat=beat)
     elif mode == 2:  # yaw extrapolation
         poses = [(0.3 * (i - (n_pose - 1) / 2), 0.0) for i in range(n_pose)]
-        demo_multiview(generator, g_params, key, out + ".png", poses)
+        demo_multiview(generator, g_params, key, out + ".png", poses,
+                       beat=beat)
     elif mode == 3:  # fov sweep
         poses = [(0.0, 0.0, fov) for fov in np.linspace(6, 30, n_pose)]
-        demo_multiview(generator, g_params, key, out + ".png", poses)
+        demo_multiview(generator, g_params, key, out + ".png", poses,
+                       beat=beat)
     elif mode == 4:  # orbit gif
         poses = [(a, 0.0) for a in np.linspace(-1, 1, 41)[:-1]]
-        demo_video(generator, g_params, key, out + ".gif", poses)
+        demo_video(generator, g_params, key, out + ".gif", poses, beat=beat)
     elif mode == 5:
-        demo_interpolate(generator, g_params, key, out + ".png", cols=8)
+        demo_interpolate(generator, g_params, key, out + ".png", cols=8,
+                         beat=beat)
     elif mode == 6:
-        demo_style_mix(generator, g_params, key, out + ".png", rows=4)
+        demo_style_mix(generator, g_params, key, out + ".png", rows=4,
+                       beat=beat)
     else:
         raise SystemExit(f"unknown demo mode {mode}")
+    watchdog.stop()
     print(f"demo mode {mode} (ckpt step {step}) -> {out}")
 
 

@@ -21,13 +21,25 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir  # noqa: E402
 from ..data.image_folder import ImageFolder  # noqa: E402
 from ..train import common  # noqa: E402
-from .pigan_demo import load_generator  # noqa: E402
+from .pigan_demo import load_generator, resolve_saved  # noqa: E402
 
 
-def run(config, n: int = 8, resolution: int = 64):
+def run(config, n: int = 8, resolution: int | None = None):
     generator, discriminator, state, step = load_generator(config)
     g_params, d_params = state["g"]["params"], state["d"]["params"]
     log_path = log_dir(config)
+    if resolution is None:
+        # Diagnose D at the resolution the checkpoint was actually trained
+        # at: a [32] schedule (or a [32, 64] run stopped before the switch)
+        # has never updated the 64-res entry adapter/block, so probing at a
+        # fixed 64 would print random-init logits.
+        from ..train.train_pigan import stage_of
+        iterations = [0] + list(config["iterations"])
+        resolutions = list(config["resolution"])
+        stage = min(stage_of(step, iterations), len(resolutions) - 1)
+        resolution = int(resolutions[stage])
+        print(f"[test] ckpt step {step} -> stage {stage}, "
+              f"resolution {resolution}")
     key = jax.random.PRNGKey(0)
 
     # generated
@@ -43,7 +55,10 @@ def run(config, n: int = 8, resolution: int = 64):
     if not os.path.isdir(data_path):
         data_path = os.path.join(log_path, "_synthetic_faces")
     if os.path.isdir(data_path):
-        ds = ImageFolder(data_path, n, resize=resolution / 64.0)
+        # stream exactly one batch — preload would decode + upload the
+        # ENTIRE dataset to print 8 logits
+        ds = ImageFolder(data_path, n, resize=resolution / 64.0,
+                         preload=False, prefetch=False)
         _, _, real = ds.get()
         real = jnp.transpose(real, (0, 3, 1, 2))
         real_logits = np.asarray(discriminator.apply(d_params, real,
@@ -79,7 +94,7 @@ def plot_loss_curves(loss_log: dict, out: str) -> str:
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    config = common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS)
+    config = resolve_saved(common.parse_cli(argv[:1], PIGAN_TRAIN_DEFAULTS))
     run(config)
 
 

@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..core import ckpt as ckpt_lib
-from ..core import diagnostics, image_io
+from ..core import diagnostics
 from ..core.config import PIGAN_TRAIN_DEFAULTS, log_dir, save_config
 from ..core import logging as logging_lib
 from ..core.logging import log_print
@@ -109,17 +109,17 @@ def make_gan_steps(generator: pigan.Generator,
 
 def save_demo_grid(generator, g_params, key, path, rows=4, cols=4,
                    resolution=None):
-    """rows x cols random-sample grid (ref: pi_GAN/utils.py:185-204)."""
-    num = rows * cols
-    kz, kp, kr = jax.random.split(key, 3)
-    z = jax.random.normal(kz, (num, generator.cfg.z_dim))
-    film = generator.get_mapping(g_params, z)
-    theta, phi = generator.sample_poses(kp, num)
-    imgs = np.asarray(generator.render_film(g_params, kr, film, theta, phi,
-                                            resolution))
-    rows_img = [np.concatenate(list(imgs[i * cols:(i + 1) * cols]), axis=1)
-                for i in range(rows)]
-    image_io.imwrite(path, np.concatenate(rows_img, axis=0))
+    """rows x cols random-sample grid (ref: pi_GAN/utils.py:185-204).
+
+    Delegates to the eval helper's HBM-budgeted chunked render (one shared
+    grid implementation) so a large rows*cols*resolution grid cannot
+    overflow activation memory mid-training."""
+    from ..eval.pigan_demo import save_demo
+
+    save_demo(generator, g_params, key, path, rows=rows, columns=cols,
+              resolution=resolution or generator.cfg.resolution,
+              coarse=generator.cfg.coarse_samples,
+              fine=generator.cfg.fine_samples)
 
 
 def stage_of(global_step: int, iterations: list[int]) -> int:
