@@ -32,6 +32,9 @@ def save(log_path: str, step: int, state: Any) -> str:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
+        f.flush()
+        os.fsync(f.fileno())  # durable before publish: rename-only atomicity
+        # holds for process kills, not power/OS crashes
     os.replace(tmp, path)  # atomic publish so a crash never leaves a torn ckpt
     return path
 
@@ -41,7 +44,7 @@ def list_checkpoints(log_path: str) -> list[tuple[int, str]]:
     if not os.path.isdir(log_path):
         return []
     out = []
-    for f in sorted(os.listdir(log_path)):
+    for f in os.listdir(log_path):
         m = _STEP_RE.match(f)
         if m:
             out.append((int(m.group(1)), os.path.join(log_path, f)))
@@ -61,9 +64,17 @@ def restore(path: str, target: Any) -> Any:
 
 
 def restore_latest(log_path: str, target: Any) -> tuple[int, Any] | None:
-    """Resume-by-scan: load the newest snapshot if one exists."""
-    found = latest(log_path)
-    if found is None:
-        return None
-    step, path = found
-    return step, restore(path, target)
+    """Resume-by-scan: load the newest readable snapshot.
+
+    Falls back to older snapshots when the newest fails to deserialise
+    (e.g. torn by a power/OS crash mid-write): a supervised auto-restart
+    must not wedge forever on one corrupt file while valid snapshots sit
+    next to it."""
+    cks = list_checkpoints(log_path)
+    for step, path in reversed(cks):
+        try:
+            return step, restore(path, target)
+        except Exception as e:  # torn msgpack, truncated file, ...
+            print(f"[ckpt] {path} unreadable ({type(e).__name__}: {e}); "
+                  "falling back to the previous snapshot")
+    return None

@@ -130,7 +130,12 @@ PIGAN_TRAIN_DEFAULTS = {
 
 
 def resolve(config: dict, defaults: dict) -> Config:
-    """Fill in defaults for missing keys (does not mutate the input)."""
-    out = Config(defaults)
+    """Fill in defaults for missing keys (does not mutate the input).
+
+    Mutable default values (the pi-GAN schedule lists) are copied so a
+    consumer mutating its config in place can never corrupt the module-
+    level default tables for every later resolve() in the process."""
+    out = Config({k: (list(v) if isinstance(v, list) else v)
+                  for k, v in defaults.items()})
     out.update(config)
     return out

@@ -40,7 +40,10 @@ def load_blender_data(file_path: str, resize: float = 1,
     images/poses are dicts over {train, val, test}; the val entry is a dict
     {'in': ..., 'ex': ...}.  Images keep all 4 RGBA channels in [0, 1].
     """
-    rng = rng or np.random.default_rng()
+    # Deterministic by default: the target_num subsample must be a pure
+    # function of the config so a supervised restart (which re-parses the
+    # original config) trains on the SAME image subset it resumed from.
+    rng = rng or np.random.default_rng(0)
     file_type = ["train", "val", "test"]
     metas = {}
     for t in file_type:

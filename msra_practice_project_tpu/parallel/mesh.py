@@ -13,9 +13,7 @@ by every trainer here, is:
     ICI, never host memory.
 
 For the tiny MLPs in this workload DP over the batch/ray axis is the whole
-scale story (the real scale axis is rays x samples, SURVEY.md §2.4); the mesh
-helper nevertheless supports factored axes ('data', 'model') so wider trunks
-can shard the hidden dimension later.
+scale story (the real scale axis is rays x samples, SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -64,5 +62,3 @@ def replicate(x, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), x)
 
 
-def pad_to_multiple(n: int, k: int) -> int:
-    return -(-n // k) * k

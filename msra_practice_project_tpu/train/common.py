@@ -14,7 +14,7 @@ import jax
 import optax
 
 from ..core import ckpt as ckpt_lib
-from ..core.config import Config, load_config
+from ..core.config import load_config, resolve
 
 
 def exponential_lr(base_lr: float, decay_thousands: float,
@@ -51,17 +51,6 @@ def init_state(params, tx) -> dict:
     return {"params": params, "opt_state": tx.init(params), "step": 0}
 
 
-def apply_grads(tx, state: dict, grads) -> dict:
-    updates, opt_state = tx.update(grads["params"] if "params" in grads
-                                   else grads,
-                                   state["opt_state"], state["params"])
-    return {
-        "params": optax.apply_updates(state["params"], updates),
-        "opt_state": opt_state,
-        "step": state["step"] + 1,
-    }
-
-
 def resume(log_path: str, state: dict) -> tuple[int, dict]:
     """Scan-resume: returns (global_step, state) — 0 and the fresh state when
     no checkpoint exists (ref behaviour: nerf/train_nerf.py:100-114)."""
@@ -78,8 +67,7 @@ def parse_cli(argv, defaults: dict) -> Config:
     if not argv:
         print("usage: ... <config.json> [key=value ...]", file=sys.stderr)
         raise SystemExit(2)
-    cfg = Config(defaults)
-    cfg.update(load_config(argv[0]))
+    cfg = resolve(load_config(argv[0]), defaults)
     for kv in argv[1:]:
         k, v = kv.split("=", 1)
         try:
@@ -91,8 +79,6 @@ def parse_cli(argv, defaults: dict) -> Config:
 
 def summary_module(name: str, params) -> int:
     """Print total parameter count (ref: pi_GAN/utils.py:14-20)."""
-    import jax
-
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"{name}: {n:,} total parameters.")
     return n

@@ -204,7 +204,8 @@ def load_dataset(config):
             blender.load_blender_data(
                 data_path, config["data_resize"], config["data_skip"],
                 config["data_view_dir_range"], config["data_target_num"],
-                config["data_train_idx"])
+                config["data_train_idx"],
+                rng=np.random.default_rng(config.get("seed", 0)))
     else:
         log_print(f"[data] {data_path!r} not found - generating synthetic "
                   "blender scene")

@@ -504,3 +504,34 @@ def test_flush_scalar_list_mixed_entries():
     assert all(isinstance(v, float) for v in out)
     assert flush_scalar_list([]) == []
     assert flush_scalar_list([1.5, 2.5]) == [1.5, 2.5]
+
+
+def test_ckpt_restore_latest_falls_back_past_corrupt_newest(tmp_path):
+    """A torn NEWEST snapshot (power/OS crash mid-write) must not wedge the
+    supervised-restart loop: restore_latest falls back to the previous
+    readable snapshot."""
+    log = str(tmp_path)
+    state = {"w": jnp.arange(4.0)}
+    ckpt.save(log, 5, state)
+    p10 = ckpt.save(log, 10, {"w": jnp.arange(4.0) * 2})
+    with open(p10, "wb") as f:
+        f.write(b"\x00\x01garbage")
+    step, restored = ckpt.restore_latest(log, {"w": jnp.zeros(4)})
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0))
+
+
+def test_resolve_copies_mutable_defaults():
+    """In-place mutation of a resolved config's schedule lists must never
+    leak into the module-level default tables."""
+    from msra_practice_project_tpu.core.config import (
+        PIGAN_TRAIN_DEFAULTS, resolve)
+
+    before = [list(v) for v in (PIGAN_TRAIN_DEFAULTS["iterations"],
+                                PIGAN_TRAIN_DEFAULTS["resolution"])]
+    cfg = resolve({}, PIGAN_TRAIN_DEFAULTS)
+    cfg["iterations"].insert(0, 0)
+    cfg["resolution"].append(128)
+    assert PIGAN_TRAIN_DEFAULTS["iterations"] == before[0]
+    assert PIGAN_TRAIN_DEFAULTS["resolution"] == before[1]
