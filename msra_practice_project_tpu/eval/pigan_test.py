@@ -69,6 +69,18 @@ def run(config, n: int = 8, resolution: int | None = None):
         print("mean real %.3f < mean fake %.3f ?"
               % (real_logits.mean(), gen_logits.mean()),
               bool(real_logits.mean() < gen_logits.mean()))
+        # Distribution diagnostics (same metrics the validate_pigan gate
+        # uses): random-conv Fréchet distance + within-image spatial
+        # structure vs the dataset.
+        from ..core.metrics import feature_distance
+        gen_hwc = np.asarray(jnp.transpose(imgs, (0, 2, 3, 1)))
+        real_hwc = np.asarray(jnp.transpose(real, (0, 2, 3, 1)))
+        print("random-conv Frechet (gen vs real): "
+              f"{feature_distance(gen_hwc, real_hwc):.4f}")
+        print("within-image spatial std: real "
+              f"{real_hwc.std(axis=(1, 2)).mean():.4f}, gen "
+              f"{gen_hwc.std(axis=(1, 2)).mean():.4f} "
+              "(flat-field collapse if gen << real)")
 
     # loss curves
     loss_log_path = os.path.join(log_path, "loss_log.npy")
