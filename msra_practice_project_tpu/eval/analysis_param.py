@@ -21,6 +21,16 @@ from .analysis_view import load_test_json  # noqa: E402
 
 
 def run(out_prefix: str, sweep: list[tuple[float, str]]):
+    # one read per log dir (not 12); a sweep entry without a test.json
+    # (trained but never swept through test_nerf) is skipped with a note
+    # instead of aborting every plot
+    cache = {}
+    for value, log_path in sweep:
+        try:
+            cache[log_path] = load_test_json(log_path)
+        except FileNotFoundError:
+            print(f"[analysis_param] {log_path}: no test.json "
+                  "(run eval.test_nerf first) — skipped")
     metric_names = ["psnr", "ssim", "lpips", "perceptual"]
     for metric in metric_names:
         plt.figure(figsize=(6, 4))
@@ -28,7 +38,9 @@ def run(out_prefix: str, sweep: list[tuple[float, str]]):
         for split in ["train", "in", "ex"]:
             xs, ys = [], []
             for value, log_path in sweep:
-                data = load_test_json(log_path)
+                data = cache.get(log_path)
+                if data is None:
+                    continue
                 vals = [v for v in data.get(metric, {}).get(split, [])
                         if v is not None]
                 if not vals:

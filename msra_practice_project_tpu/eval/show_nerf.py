@@ -23,7 +23,9 @@ from .nerf_common import load_experiment, render_view
 def run(log_path: str, ckpt_idx=None, width=100, height=100, focal=None,
         n_frames=40):
     config, models, state, step = load_experiment(log_path, ckpt_idx)
-    focal = focal or width * 1.1
+    # default = the Blender intrinsic the model was trained with:
+    # 0.5*W/tan(0.5*0.6911) = W*1.3875 (ref: nerf/show_nerf.py:17)
+    focal = focal or width * 1.3875
     rgbs, accs = [], []
     key = jax.random.PRNGKey(0)
     for i, theta in enumerate(np.linspace(-180, 180, n_frames + 1)[:-1]):

@@ -98,10 +98,10 @@ def _train_multistep(state, cloud, batch_starts, keys, *, apply_fn, tx,
     return jax.lax.scan(body, state, (batch_starts, keys))
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "n"))
-def _sdf_slice(params, xi_coord, *, apply_fn, n: int):
+@partial(jax.jit, static_argnames=("apply_fn", "n", "bound"))
+def _sdf_slice(params, xi_coord, *, apply_fn, n: int, bound: float = 1.0):
     """Evaluate one x-slice of the N^3 grid: [n, n] SDF values."""
-    grid = jnp.linspace(-1.0, 1.0, n)
+    grid = jnp.linspace(-bound, bound, n)
     yy, zz = jnp.meshgrid(grid, grid, indexing="ij")
     pts = jnp.stack([jnp.full_like(yy, xi_coord), yy, zz], axis=-1)
     return apply_fn(params, pts.reshape(-1, 3)).reshape(n, n)
@@ -123,7 +123,8 @@ def create_mesh(apply_fn, params, filename: str, n: int = 256,
         if watchdog is not None:
             watchdog.beat(f"mesh slice {i}/{n}")
         values[i] = np.asarray(_sdf_slice(params, jnp.float32(x),
-                                          apply_fn=apply_fn, n=n))
+                                          apply_fn=apply_fn, n=n,
+                                          bound=bound))
     voxel_size = 2.0 * bound / (n - 1)
     if watchdog is not None:
         watchdog.pause()
@@ -242,14 +243,14 @@ def train(config) -> dict:
             log_print(f"Saved checkpoints at {path}")
 
     profiler.stop()
-    # final flush is a device sync — keep the watchdog armed through it,
-    # then disarm before the final mesh extraction (its host-side marching
-    # pass can legitimately exceed the heartbeat timeout)
-    logger.save(log_path)
-    watchdog.stop()
-    # Final high-res mesh (ref: siren/train_sdf.py:101, N=512).
+    logger.save(log_path)  # final flush is a device sync — watchdog armed
+    # Final high-res mesh (ref: siren/train_sdf.py:101, N=512): the ~N
+    # device slice dispatches stay watchdog-guarded (per-slice beats); only
+    # the host-side marching pass, which can legitimately exceed the
+    # heartbeat, is paused inside create_mesh.
     create_mesh(apply_fn, state["params"], os.path.join(log_path, "test"),
-                n=config.get("final_mesh_n", 512))
+                n=config.get("final_mesh_n", 512), watchdog=watchdog)
+    watchdog.stop()
     return {"state": state, "log": logger.data, "model": model}
 
 
