@@ -151,17 +151,18 @@ def test_pigan_extract_mesh(pigan_exp, tmp_path):
     assert os.path.exists(out + ".ply")
 
 
-def test_pigan_synthesis(pigan_exp):
+def test_pigan_synthesis(pigan_exp, monkeypatch):
     from msra_practice_project_tpu.train import synthesis
 
     cfg, log = pigan_exp
     cfg = dict(cfg)
     cfg["syn_iterations"] = 3
-    # monkeypatch module constants for a tiny run
-    synthesis.RESOLUTION, synthesis.COARSE, synthesis.FINE = 8, 2, 2
-    synthesis.FINAL_RES = 8
-    synthesis.FINAL_COARSE = synthesis.FINAL_FINE = 2
-    synthesis.I_IMAGE, synthesis.I_SAVE = 1000, 1000
+    # monkeypatch module constants for a tiny run (auto-restored)
+    for name, val in (("RESOLUTION", 8), ("COARSE", 2), ("FINE", 2),
+                      ("FINAL_RES", 8), ("FINAL_COARSE", 2),
+                      ("FINAL_FINE", 2), ("I_IMAGE", 1000),
+                      ("I_SAVE", 1000)):
+        monkeypatch.setattr(synthesis, name, val)
     from msra_practice_project_tpu.core.config import Config
     out = synthesis.synthesize(Config(cfg))
     assert np.isfinite(out["loss_log"]).all()
