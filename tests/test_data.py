@@ -201,6 +201,45 @@ def test_dem_cloud_real_terrain():
     np.testing.assert_allclose(pos[:, 2], z_true, atol=2e-6)
 
 
+def test_dem_cloud_closed_solid():
+    """closed=True closes the heightfield into a watertight solid block:
+    every point lies on exactly one of the six faces (DEM top, flat bottom,
+    four skirt sides), normals are unit-length and outward, and all faces
+    are populated (area-proportional sampling)."""
+    extent, z_bottom = 0.7, -0.35
+    cloud = pointcloud.make_dem_cloud(n=8000, extent=extent, z_scale=0.2,
+                                      closed=True, z_bottom=z_bottom)
+    assert cloud.shape == (8000, 6) and cloud.dtype == np.float32
+    pos, nrm = cloud[:, :3], cloud[:, 3:]
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, rtol=1e-5)
+    eps = 1e-6
+    on_bottom = np.abs(pos[:, 2] - z_bottom) <= eps
+    on_side = (np.abs(np.abs(pos[:, 0]) - extent) <= eps) | \
+        (np.abs(np.abs(pos[:, 1]) - extent) <= eps)
+    on_top = ~on_bottom & ~on_side
+    # every point on exactly one face class; all classes populated
+    assert (on_bottom | on_side | on_top).all()
+    assert on_bottom.sum() > 500 and on_side.sum() > 500 \
+        and on_top.sum() > 2000
+    # outward normals: bottom -z, sides point away from the axis, top +z
+    assert np.abs(nrm[on_bottom] - np.array([0.0, 0.0, -1.0])).max() <= eps
+    assert (nrm[on_top][:, 2] > 0).all()
+    side_dot = np.sum(nrm[on_side][:, :2] * np.sign(pos[on_side][:, :2]),
+                      axis=1)
+    assert (side_dot > 1 - 1e-5).all()
+    # top points still lie on the true heightfield
+    from scipy.interpolate import RegularGridInterpolator
+    height, x_lin, y_lin = pointcloud.load_dem_heightfield(extent, 0.2)
+    interp = RegularGridInterpolator((y_lin, x_lin), height)
+    t = pos[on_top]
+    np.testing.assert_allclose(
+        t[:, 2], interp(np.stack([t[:, 1], t[:, 0]], axis=1)), atol=2e-6)
+    # side z stays within [z_bottom, edge height]
+    s = pos[on_side]
+    assert s[:, 2].min() >= z_bottom - eps
+    assert s[:, 2].max() <= height.max() + 1e-5
+
+
 def test_dem_cloud_loads_via_npz(tmp_path):
     cloud = pointcloud.make_dem_cloud(n=100)
     p = tmp_path / "dem.npz"

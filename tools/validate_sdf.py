@@ -37,13 +37,21 @@ def main_real(iterations=4000):
         load_dem_heightfield, make_dem_cloud)
 
     extent = 0.7
+    z_bottom = -0.35
     shutil.rmtree("/tmp/sdf_validate/dem", ignore_errors=True)
     os.makedirs("/tmp/sdf_validate", exist_ok=True)
-    cloud = make_dem_cloud(n=100000, extent=extent)
+    # closed=True: the DEM top is closed into a watertight solid block —
+    # an OPEN sheet is ill-posed for an SDF (the field must re-cross zero
+    # around the sheet boundary, producing spurious isosurface sheets;
+    # measured: mean |z| error stuck at ~4 voxels even at 12k iters).  The
+    # reference's SDF scenes are likewise watertight solids.
+    cloud = make_dem_cloud(n=100000, extent=extent, closed=True,
+                           z_bottom=z_bottom)
     cloud_path = "/tmp/sdf_validate/dem_cloud.npz"
     np.savez(cloud_path, p=cloud)
     print(f"[validate] real-terrain cloud: {cloud.shape[0]} oriented points "
-          f"from the Jacksboro Fault DEM (344x403 elevation grid)")
+          f"from the Jacksboro Fault DEM (344x403 elevation grid), closed "
+          f"into a solid block (skirt sides + bottom at z={z_bottom})")
 
     cfg = resolve({
         "output_path": "/tmp/sdf_validate", "experiment_name": "dem",
@@ -59,9 +67,11 @@ def main_real(iterations=4000):
     height, x_lin, y_lin = load_dem_heightfield(extent)
     interp = RegularGridInterpolator((y_lin, x_lin), height)
     verts, faces = read_ply("/tmp/sdf_validate/dem/test.ply")
-    # gate only inside the data region (outside it the SDF extrapolates)
-    inside = (np.abs(verts[:, 0]) <= 0.95 * extent) & \
-        (np.abs(verts[:, 1]) <= 0.95 * extent)
+    # gate only the TOP surface of the solid: inside the footprint (skirts
+    # live at |x| or |y| == extent) and above the bottom face
+    inside = (np.abs(verts[:, 0]) <= 0.9 * extent) & \
+        (np.abs(verts[:, 1]) <= 0.9 * extent) & \
+        (verts[:, 2] >= z_bottom + 0.07)
     v = verts[inside]
     z_true = interp(np.stack([v[:, 1], v[:, 0]], axis=1))
     err = np.abs(v[:, 2] - z_true)
