@@ -143,6 +143,16 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     spatial_real = float(real_np.std(axis=(1, 2)).mean())
     spatial0 = float(samples0.std(axis=(1, 2)).mean())
     spatial1 = float(samples1.std(axis=(1, 2)).mean())
+    # Visual evidence beside the numbers: trained samples vs the dataset,
+    # same grid layout (the queue item this run answers was flagged off a
+    # VISUAL flat-field collapse that the numeric gates then learned to
+    # catch — keep both forms of evidence).
+    from msra_practice_project_tpu.core import image_io
+    from msra_practice_project_tpu.eval.pigan_demo import _grid
+    image_io.imwrite(os.path.join(base, name, "samples_final.png"),
+                     _grid(samples1[:32].reshape(4, 8, res, res, 3)))
+    image_io.imwrite(os.path.join(base, name, "samples_real.png"),
+                     _grid(real_np[:32].reshape(4, 8, res, res, 3)))
     stage_txt = (f"two-stage 32^2 -> fade {fade} -> 64^2"
                  if two_stage else "single stage 32^2")
     print(f"[validate] schedule: {stage_txt}; gates at {res}^2")
