@@ -148,11 +148,16 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # VISUAL flat-field collapse that the numeric gates then learned to
     # catch — keep both forms of evidence).
     from msra_practice_project_tpu.core import image_io
-    from msra_practice_project_tpu.eval.pigan_demo import _grid
+    from msra_practice_project_tpu.eval.pigan_demo import _grid, save_demo
     image_io.imwrite(os.path.join(base, name, "samples_final.png"),
                      _grid(samples1[:32].reshape(4, 8, res, res, 3)))
     image_io.imwrite(os.path.join(base, name, "samples_real.png"),
                      _grid(real_np[:32].reshape(4, 8, res, res, 3)))
+    # high-res visual evidence: the reference's demo-mode-0 grid at 128^2
+    # with dense sampling, straight off the final params
+    save_demo(generator, g_params, jax.random.fold_in(key, 77),
+              os.path.join(base, name, "demo_128.png"), rows=4, columns=8,
+              resolution=128, beat=dog.beat)
     stage_txt = (f"two-stage 32^2 -> fade {fade} -> 64^2"
                  if two_stage else "single stage 32^2")
     print(f"[validate] schedule: {stage_txt}; gates at {res}^2")
