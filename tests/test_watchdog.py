@@ -117,6 +117,44 @@ def test_supervise_exports_attempt_number(tmp_path):
     assert "attempt-env=2" in r.stdout
 
 
+def test_supervise_sigterm_stops_child_and_suppresses_restart(tmp_path):
+    """SIGTERM to the supervisor must be forwarded to the child (no orphan
+    trainer contending for the chip) and must suppress restarts — this is
+    how a long run is stopped at a deadline (`timeout N supervise.py ...`)."""
+    marker = tmp_path / "child_pid"
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import os, time
+        open({str(marker)!r}, "w").write(str(os.getpid()))
+        time.sleep(60)
+    """))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "tools/supervise.py", "--cooldown", "0", "--",
+         sys.executable, str(child)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, text=True)
+    deadline = time.time() + 30
+    while not marker.exists() and time.time() < deadline:
+        time.sleep(0.1)
+    assert marker.exists(), "child never started"
+    child_pid = int(marker.read_text())
+    proc.send_signal(subprocess.signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 128 + 15, (proc.returncode, out)
+    assert "not restarting" in out
+    assert "attempt 2" not in out
+    # the child must be gone (kill 0 probes liveness without sending)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            os.kill(child_pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError(f"child {child_pid} still alive after SIGTERM")
+
+
 def test_watchdog_pause_blinds_then_resume_rearms(tmp_path):
     """pause() must survive a heartbeat gap longer than the timeout (the
     legitimate host-side marching pass), and resume() must re-arm from a

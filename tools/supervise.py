@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -38,7 +39,39 @@ WATCHDOG_EXIT = 17  # keep in sync with core/diagnostics.Watchdog.EXIT_CODE
 
 def supervise(cmd: list[str], max_restarts: int = 10, cooldown: float = 180.0,
               retry_any: bool = False) -> int:
-    """Run cmd, restarting on watchdog exits; returns the final exit code."""
+    """Run cmd, restarting on watchdog exits; returns the final exit code.
+
+    SIGTERM/SIGINT to the supervisor is forwarded to the running child and
+    suppresses any further restart (checkpoint auto-resume makes the stop
+    lossless) — so ``timeout N python tools/supervise.py -- ...`` or killing
+    the supervisor's pid cleanly stops the whole tree instead of orphaning
+    a trainer that would keep contending for the chip."""
+    state = {"proc": None, "stop": None}
+
+    def _on_stop(signum, frame):
+        state["stop"] = signum
+        p = state["proc"]
+        if p is not None and p.poll() is None:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+
+    prev = {}
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[s] = signal.signal(s, _on_stop)
+        except ValueError:  # not the main thread (library use from a test)
+            pass
+
+    try:
+        return _supervise_loop(cmd, max_restarts, cooldown, retry_any, state)
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+
+def _supervise_loop(cmd, max_restarts, cooldown, retry_any, state) -> int:
     attempt = 0
     while True:
         attempt += 1
@@ -48,7 +81,24 @@ def supervise(cmd: list[str], max_restarts: int = 10, cooldown: float = 180.0,
         # flag — otherwise a tool that wipes its own experiment dir on a
         # fresh start would restart long runs from zero after every wedge.
         env = dict(os.environ, SUPERVISE_ATTEMPT=str(attempt))
-        rc = subprocess.call(cmd, env=env)
+        proc = subprocess.Popen(cmd, env=env)
+        state["proc"] = proc
+        try:
+            rc = proc.wait()
+        except KeyboardInterrupt:   # SIGINT raced past the handler install
+            state["stop"] = signal.SIGINT
+            if proc.poll() is None:
+                proc.terminate()
+            rc = proc.wait()
+        if state["stop"] is not None:
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            print(f"[supervise] stop signal {state['stop']}; child "
+                  f"terminated (rc={rc}), not restarting", flush=True)
+            return 128 + int(state["stop"])
         if rc == 0:
             print(f"[supervise] success after {attempt} attempt(s)",
                   flush=True)
@@ -65,7 +115,13 @@ def supervise(cmd: list[str], max_restarts: int = 10, cooldown: float = 180.0,
         why = "watchdog stall" if rc == WATCHDOG_EXIT else f"exit {rc}"
         print(f"[supervise] {why}; restarting in {cooldown:.0f}s "
               f"({max_restarts - attempt + 1} restart(s) left)", flush=True)
-        time.sleep(cooldown)
+        deadline = time.time() + cooldown
+        while time.time() < deadline:        # interruptible cooldown
+            if state["stop"] is not None:
+                print(f"[supervise] stop signal {state['stop']} during "
+                      "cooldown; not restarting", flush=True)
+                return 128 + int(state["stop"])
+            time.sleep(min(1.0, max(deadline - time.time(), 0.0)))
 
 
 def main(argv=None) -> int:
