@@ -15,6 +15,11 @@ TPU re-design of pi_GAN/train.py + pi_GAN/utils.py:
     XLA program per stage, recompiled at each of the (few) stage switches.
   * Dual Adam (betas (0, 0.9)) with the interpolated exponential decay
     (pi_GAN/train.py:138-147).
+  * Optional training-dynamics knobs beyond the reference driver, both
+    defaulting to its exact behaviour: `r1_lambda` (default 1) and
+    `instance_noise`/`instance_noise_anneal` (default 0 = off) — annealed
+    pixel noise on real+fake before D, for datasets where clean disjoint
+    supports let D win and the saturating g_loss starve G.
 
 Run: python -m msra_practice_project_tpu.train.train_pigan configs/pi_gan/test.json
 """
@@ -56,19 +61,40 @@ def r1_penalty(d_apply, d_params, real, resolution, alpha):
 
 def make_gan_steps(generator: pigan.Generator,
                    discriminator: pigan.Discriminator,
-                   g_tx, d_tx, resolution: int, r1_lambda: float = 1.0):
-    """Jitted (d_step, g_step) for a progressive stage (static resolution)."""
+                   g_tx, d_tx, resolution: int, r1_lambda: float = 1.0,
+                   instance_noise: bool = False):
+    """Jitted (d_step, g_step) for a progressive stage (static resolution).
+
+    `instance_noise=True` compiles steps that add N(0, noise_std^2) pixel
+    noise to BOTH real and fake images before D (Sonderby et al. 2017 /
+    Roth et al. 2017): on data where real/fake supports are disjoint (our
+    clean synthetic gates) D reaches near-zero loss and the reference's
+    saturating g_loss starves G of gradient — noise overlaps the supports
+    so D stays informative.  Off (the default) the compiled graphs are the
+    reference's exact dynamics (pi_GAN/train.py:100-136); both variants
+    take a traced `noise_std` so one XLA program serves the whole anneal."""
     g_apply = generator.apply
     d_apply = discriminator.apply
 
+    def noisy(x, key, noise_std):
+        if not instance_noise:
+            return x
+        return x + noise_std * jax.random.normal(key, x.shape, x.dtype)
+
     @jax.jit
-    def d_step(d_state, g_params, real, z, key, alpha):
+    def d_step(d_state, g_params, real, z, key, alpha, noise_std=0.0):
+        # no-noise path keeps the exact pre-existing RNG stream
+        k_fake, k_nf, k_nr = (jax.random.split(key, 3) if instance_noise
+                              else (key, None, None))
+
         def loss_fn(d_params):
-            fake = g_apply(jax.lax.stop_gradient(g_params), key, z,
+            fake = g_apply(jax.lax.stop_gradient(g_params), k_fake, z,
                            resolution)
+            fake = noisy(fake, k_nf, noise_std)
+            real_n = noisy(real, k_nr, noise_std)
             fake_label = d_apply(d_params, fake, resolution, alpha)
-            real_label = d_apply(d_params, real, resolution, alpha)
-            r1 = r1_penalty(d_apply, d_params, real, resolution, alpha)
+            real_label = d_apply(d_params, real_n, resolution, alpha)
+            r1 = r1_penalty(d_apply, d_params, real_n, resolution, alpha)
             loss = (-jnp.mean(loss_f(fake_label))
                     - jnp.mean(loss_f(-real_label)) + r1_lambda * r1)
             return loss, {"d_loss": loss, "r1": r1,
@@ -86,9 +112,13 @@ def make_gan_steps(generator: pigan.Generator,
         }, metrics
 
     @jax.jit
-    def g_step(g_state, d_params, z, key, alpha):
+    def g_step(g_state, d_params, z, key, alpha, noise_std=0.0):
+        k_fake, k_nf = (jax.random.split(key) if instance_noise
+                        else (key, None))
+
         def loss_fn(g_params):
-            fake = g_apply(g_params, key, z, resolution)
+            fake = g_apply(g_params, k_fake, z, resolution)
+            fake = noisy(fake, k_nf, noise_std)
             fake_label = d_apply(jax.lax.stop_gradient(d_params), fake,
                                  resolution, alpha)
             loss = jnp.mean(loss_f(fake_label))
@@ -202,11 +232,28 @@ def train(config) -> dict:
                 data_path, n=config.get("data_n", 256),
                 variant=config.get("data_variant", "shaded"))
 
+    # Training-dynamics knobs beyond the reference driver (defaults = the
+    # reference's exact dynamics: lambda 1, no noise).  instance_noise is
+    # the initial pixel-noise std, linearly annealed to 0 over
+    # instance_noise_anneal iterations — used by the synthetic-data gates
+    # where clean disjoint supports let D win outright.
+    r1_lambda = float(config.get("r1_lambda", 1.0))
+    noise0 = float(config.get("instance_noise", 0.0))
+    noise_anneal = int(config.get("instance_noise_anneal", 10000))
+    if noise0 > 0.0:
+        log_print(f"[train] instance noise {noise0} annealed over "
+                  f"{noise_anneal} iters; r1_lambda {r1_lambda}")
+
+    def noise_at(step: int) -> float:
+        return noise0 * max(0.0, 1.0 - step / max(noise_anneal, 1))
+
     stage = stage_of(global_step, iterations)
     dataset = ImageFolder(data_path, batch_sizes[stage],
                           resize=resolutions[stage] / 64.0)
     d_step_fn, g_step_fn = make_gan_steps(generator, discriminator, g_tx,
-                                          d_tx, resolutions[stage])
+                                          d_tx, resolutions[stage],
+                                          r1_lambda=r1_lambda,
+                                          instance_noise=noise0 > 0.0)
     log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
               f"resolution:{resolutions[stage]}")
 
@@ -246,13 +293,14 @@ def train(config) -> dict:
         if use_dp:
             real = jax.device_put(real, batch_shard)
             z = jax.device_put(z, batch_shard)
+        noise_std = noise_at(global_step)
         d_state, m_d = d_step_fn(d_state, g_state["params"], real, z, k2,
-                                 fade_alpha)
+                                 fade_alpha, noise_std)
         z = jax.random.normal(k3, (batch_sizes[stage], config.z_dim))
         if use_dp:
             z = jax.device_put(z, batch_shard)
         g_state, m_g = g_step_fn(g_state, d_state["params"], z, k4,
-                                 fade_alpha)
+                                 fade_alpha, noise_std)
         # lazy append — converted to floats at print/save cadence (a float()
         # per step would sync the device every step)
         loss_log["d_loss"].append(m_d["d_loss"])
@@ -267,7 +315,9 @@ def train(config) -> dict:
                 dataset = ImageFolder(data_path, batch_sizes[stage],
                                       resize=resolutions[stage] / 64.0)
                 d_step_fn, g_step_fn = make_gan_steps(
-                    generator, discriminator, g_tx, d_tx, resolutions[stage])
+                    generator, discriminator, g_tx, d_tx,
+                    resolutions[stage], r1_lambda=r1_lambda,
+                    instance_noise=noise0 > 0.0)
                 log_print(f"[Train] Entering stage {stage}, batch_size:"
                           f"{batch_sizes[stage]}, resolution:"
                           f"{resolutions[stage]}")

@@ -326,6 +326,89 @@ def test_train_pigan_loss_log_survives_resume(tmp_path):
     assert len(log["d_loss"]) == 12
 
 
+def test_pigan_instance_noise_trains(tmp_path):
+    """The annealed instance-noise path (train_pigan docstring; used by the
+    synthetic-data gates where clean disjoint supports let D saturate)
+    compiles, trains finitely, and the anneal covers noise->0."""
+    from msra_practice_project_tpu.train import train_pigan
+
+    cfg = resolve({
+        "output_path": str(tmp_path), "experiment_name": "pigan_noise",
+        "data_path": "/nonexistent", "z_dim": 16,
+        "render_coarse_sample_num": 2, "render_fine_sample_num": 2,
+        "iterations": [6], "fade_in_itrs": [0],
+        "batch_size": [2], "resolution": [8],
+        "i_print": 100, "i_save": 100, "i_image": 100, "data_n": 4,
+        "instance_noise": 0.3, "instance_noise_anneal": 4,
+    }, PIGAN_TRAIN_DEFAULTS)
+    out = train_pigan.train(cfg)
+    assert np.isfinite(out["loss_log"]["d_loss"]).all()
+    assert np.isfinite(out["loss_log"]["g_loss"]).all()
+    assert len(out["loss_log"]["g_loss"]) == 6
+
+
+def test_pigan_noise_std_zero_matches_no_noise_graph():
+    """With instance_noise compiled in but noise_std == 0 the added term is
+    exactly zero: only the RNG split differs from the reference graph, so
+    D's loss on FIXED fakes/reals must agree between the two compilations."""
+    import jax
+    import jax.numpy as jnp
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.train import common as tcommon
+    from msra_practice_project_tpu.train.train_pigan import make_gan_steps
+
+    gen_cfg = pigan.GeneratorConfig(z_dim=8, resolution=8, near=0.5,
+                                    far=1.5, coarse_samples=2,
+                                    fine_samples=2)
+    gen = pigan.Generator(gen_cfg)
+    disc = pigan.Discriminator()
+    tx = tcommon.adam(1e-4, betas=(0.0, 0.9))
+    g_state = tcommon.init_state(gen.init(jax.random.PRNGKey(0)), tx)
+    d_state = tcommon.init_state(disc.init(jax.random.PRNGKey(1)), tx)
+
+    key = jax.random.PRNGKey(2)
+    z = jax.random.normal(key, (2, 8))
+    real = jax.random.uniform(jax.random.fold_in(key, 1), (2, 3, 8, 8))
+
+    d_ref, g_ref = make_gan_steps(gen, disc, tx, tx, 8,
+                                  instance_noise=False)
+    d_noise, g_noise = make_gan_steps(gen, disc, tx, tx, 8,
+                                      instance_noise=True)
+    # same fake-render key on both paths: pre-split the noise path's key so
+    # its k_fake equals the reference path's
+    k = jax.random.PRNGKey(3)
+    k_fake = jax.random.split(k, 3)[0]
+    _, m_ref = d_ref(d_state, g_state["params"], real, z, k_fake, -1.0)
+    _, m_noise = d_noise(d_state, g_state["params"], real, z, k, -1.0,
+                         jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(m_ref["d_loss"]),
+                               np.asarray(m_noise["d_loss"]), rtol=1e-6)
+
+
+def test_lowfreq_spatial_std_rejects_speckle():
+    """The gated spatial-structure metric must score iid speckle near zero
+    while genuine low-frequency structure survives pooling (the 30k face
+    run passed the RAW spatial-std gate on pure per-pixel noise)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.validate_pigan import lowfreq_spatial_std
+
+    rng = np.random.RandomState(0)
+    speckle = rng.uniform(0.3, 1.0, size=(4, 64, 64, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    blob = np.exp(-(((yy - 0.5) ** 2 + (xx - 0.5) ** 2) / 0.02))
+    blobs = np.tile(blob[None, :, :, None], (4, 1, 1, 3)).astype(np.float32)
+
+    raw_speckle = float(speckle.std(axis=(1, 2)).mean())
+    lf_speckle = lowfreq_spatial_std(speckle)
+    lf_blob = lowfreq_spatial_std(blobs)
+    # pooling kills ~3/4 of iid noise std but leaves blob structure intact
+    assert lf_speckle < 0.4 * raw_speckle
+    assert lf_blob > 0.8 * float(blobs.std(axis=(1, 2)).mean())
+    assert lf_blob > 3 * lf_speckle
+
+
 def test_train_sdf_reshuffles_each_epoch(tmp_path, monkeypatch):
     """Batch composition must change across epochs (intended behaviour of
     siren/train_sdf.py:70-71, where the reshuffle is dead code)."""
