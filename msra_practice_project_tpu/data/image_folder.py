@@ -152,12 +152,17 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
     structure (VERDICT r2 weak #6).  `shaded=False` keeps the flat Gaussian
     blobs (fastest smoke data).
 
-    `variant` overrides the bool: "blobs" | "shaded" | "face".  "face" adds
-    eye/mouth albedo features at FIXED world-frame directions on the head:
-    as the camera yaws they traverse the face exactly like features on a
-    real head — a stronger 3D cue than shading alone, while the silhouette
-    stays the soft Gaussian (hard silhouettes measured unlearnable in
-    smoke-gate budgets).
+    `variant` overrides the bool: "blobs" | "shaded" | "face" | "bigface".
+    "face" adds eye/mouth albedo features at FIXED world-frame directions
+    on the head: as the camera yaws they traverse the face exactly like
+    features on a real head — a stronger 3D cue than shading alone, while
+    the silhouette stays the soft Gaussian (hard silhouettes measured
+    unlearnable in smoke-gate budgets).  "bigface" is the same face but
+    filling the frame like a CelebA crop (head radius 0.7-0.95 of the half
+    -frame, small world offsets): long-horizon adversarial training on the
+    small-blob variants degenerates because ~85% of every real image is
+    flat background, which a volumetric generator can only match with fog
+    — the measured flat-field attractor of the 30k batch-64 run.
     """
     if variant is None:
         variant = "shaded" if shaded else "blobs"
@@ -184,13 +189,16 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
         theta = rng.normal(0.0, 0.45)
         phi = rng.normal(0.0, 0.15)
         # small spheres (the r2 flat blobs' sparsity, learnable within a
-        # few-k-iteration smoke gate) but with both 3D cues attached
-        radius = rng.uniform(0.25, 0.4)
+        # few-k-iteration smoke gate) but with both 3D cues attached;
+        # bigface fills the frame (CelebA's regime — almost no background)
+        big = variant == "bigface"
+        radius = rng.uniform(0.7, 0.95) if big else rng.uniform(0.25, 0.4)
         col = rng.uniform(0.25, 1.0, 3)
         # identity = a sphere at a small WORLD-space offset: its image
         # position is the camera-frame projection, so it translates with
         # yaw/pitch — a second pose-consistent cue besides shading
-        wx, wy, wz = rng.uniform(-0.3, 0.3, 3)
+        wx, wy, wz = rng.uniform(-0.12, 0.12, 3) if big \
+            else rng.uniform(-0.3, 0.3, 3)
         ct_, st_ = np.cos(theta), np.sin(theta)
         cp_, sp_ = np.cos(phi), np.sin(phi)
         cx = wx * ct_ - wz * st_
@@ -215,7 +223,7 @@ def make_synthetic_faces(tmp_dir: str, n: int = 32, size: int = 64, seed=0,
         l_cam = rot_x @ (rot_y @ light)
         shade = np.clip(normals @ l_cam, 0.0, 1.0)
         albedo = np.broadcast_to(col, (*shade.shape, 3)).copy()
-        if variant == "face":
+        if variant in ("face", "bigface"):
             # Features live at fixed WORLD-frame directions on the head:
             # n_world = (rot_x @ rot_y)^T n_cam.  dot(n_world, feature_dir)
             # peaks where the feature faces the camera, so eyes/mouth

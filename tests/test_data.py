@@ -278,3 +278,25 @@ def test_synthetic_faces_variants(tmp_path):
         np.asarray(Image.open(d2 / f"{i:05d}.png"), np.float32) / 255.0
         for i in range(4)])
     np.testing.assert_array_equal(again, arrs["face"])
+
+
+def test_synthetic_bigface_fills_frame(tmp_path):
+    """The bigface variant is CelebA's regime: foreground covers most of
+    the frame (the small-blob variants are ~85% flat background — the
+    measured flat-field attractor for long-horizon GAN training)."""
+    from PIL import Image
+
+    cover = {}
+    for v in ("face", "bigface"):
+        d = tmp_path / v
+        image_folder.make_synthetic_faces(str(d), n=6, size=32, seed=3,
+                                          variant=v)
+        a = np.stack([
+            np.asarray(Image.open(d / f"{i:05d}.png"), np.float32) / 255.0
+            for i in range(6)])
+        assert np.isfinite(a).all()
+        # foreground = pixels that deviate from the 0.9-gray background
+        fg = (np.abs(a - 0.9).max(axis=-1) > 0.05).mean()
+        cover[v] = fg
+    assert cover["bigface"] > 0.5
+    assert cover["bigface"] > 2 * cover["face"]

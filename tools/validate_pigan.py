@@ -62,7 +62,7 @@ def sample(generator, g_params, key, n, res):
 
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
-         resume=False, variant="shaded", noise=0.0):
+         resume=False, variant="shaded", noise=0.0, dlr=None):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -114,6 +114,11 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         # g_loss starves G (the 30k face run's stage-0 flat-field collapse)
         "instance_noise": noise,
         "instance_noise_anneal": max(total // 2, 1), **schedule,
+        # the reference's D lr is 8x G's (4e-4 vs 5e-5, tuned for CelebA);
+        # on easy synthetic data that ratio lets D saturate — --dlr scales
+        # it down (end-lr kept at the reference's 4:1 start:end ratio)
+        **({} if dlr is None else {"discriminator_lr": dlr,
+                                   "discriminator_lr_end": dlr / 4.0}),
     }, PIGAN_TRAIN_DEFAULTS)
 
     # Device phases OUTSIDE train() (backend init, the untrained baseline
@@ -269,13 +274,19 @@ if __name__ == "__main__":
         i = raw.index("--noise")
         noise = float(raw[i + 1])
         raw = raw[:i] + raw[i + 2:]
-    argv = [a for a in raw if a not in ("--resume", "--face")]
+    dlr = None
+    if "--dlr" in raw:
+        i = raw.index("--dlr")
+        dlr = float(raw[i + 1])
+        raw = raw[:i] + raw[i + 2:]
+    argv = [a for a in raw if a not in ("--resume", "--face", "--bigface")]
     resume = "--resume" in raw
-    variant = "face" if "--face" in raw else "shaded"
+    variant = ("bigface" if "--bigface" in raw
+               else "face" if "--face" in raw else "shaded")
     its = int(argv[0]) if len(argv) > 0 else 1200
     s1 = int(argv[1]) if len(argv) > 1 else 0
     fade = int(argv[2]) if len(argv) > 2 else 200
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
-    ok = main(its, s1, fade, batch0, data_n, resume, variant, noise)
+    ok = main(its, s1, fade, batch0, data_n, resume, variant, noise, dlr)
     sys.exit(0 if ok else 1)
