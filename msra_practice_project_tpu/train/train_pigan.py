@@ -17,9 +17,12 @@ TPU re-design of pi_GAN/train.py + pi_GAN/utils.py:
     (pi_GAN/train.py:138-147).
   * Optional training-dynamics knobs beyond the reference driver, both
     defaulting to its exact behaviour: `r1_lambda` (default 1) and
-    `instance_noise`/`instance_noise_anneal` (default 0 = off) — annealed
-    pixel noise on real+fake before D, for datasets where clean disjoint
-    supports let D win and the saturating g_loss starve G.
+    `instance_noise`/`instance_noise_anneal`/`instance_noise_floor`
+    (default 0 = off) — annealed pixel noise on real+fake before D, for
+    datasets where clean disjoint supports let D win and the saturating
+    g_loss starve G.  The floor anneals to sigma_min instead of 0 (the
+    bigface probe's structure decay began exactly when the noise died —
+    a floor keeps the supports overlapped for the whole horizon).
 
 Run: python -m msra_practice_project_tpu.train.train_pigan configs/pi_gan/test.json
 """
@@ -59,10 +62,18 @@ def r1_penalty(d_apply, d_params, real, resolution, alpha):
     return jnp.mean(jnp.sum(g * g, axis=-1))
 
 
+def noise_schedule(noise0: float, anneal: int, floor: float,
+                   step: int) -> float:
+    """Instance-noise std at `step`: linear anneal from noise0 to `floor`
+    over `anneal` iterations (floor 0 = the original anneal-to-zero)."""
+    return max(floor, noise0 * max(0.0, 1.0 - step / max(anneal, 1)))
+
+
 def make_gan_steps(generator: pigan.Generator,
                    discriminator: pigan.Discriminator,
                    g_tx, d_tx, resolution: int, r1_lambda: float = 1.0,
-                   instance_noise: bool = False):
+                   instance_noise: bool = False,
+                   d_skip_margin: float | None = None):
     """Jitted (d_step, g_step) for a progressive stage (static resolution).
 
     `instance_noise=True` compiles steps that add N(0, noise_std^2) pixel
@@ -72,7 +83,16 @@ def make_gan_steps(generator: pigan.Generator,
     saturating g_loss starves G of gradient — noise overlaps the supports
     so D stays informative.  Off (the default) the compiled graphs are the
     reference's exact dynamics (pi_GAN/train.py:100-136); both variants
-    take a traced `noise_std` so one XLA program serves the whole anneal."""
+    take a traced `noise_std` so one XLA program serves the whole anneal.
+
+    `d_skip_margin` (None = off = reference dynamics) caps D's advantage:
+    when E[D(fake)] already exceeds the margin (fake pushed towards +inf in
+    the reference's sign convention), D's parameter/optimizer update is
+    dropped for that step (loss still measured).  On easy synthetic data D
+    otherwise saturates within ~2k iterations (E[D(fake)] ~ +3.4 measured)
+    and the saturating g_loss gradient sigma(-u) starves G; the cap keeps
+    the game in the informative-gradient regime.  In-graph via jnp.where,
+    so one compiled program serves both outcomes."""
     g_apply = generator.apply
     d_apply = discriminator.apply
 
@@ -105,8 +125,18 @@ def make_gan_steps(generator: pigan.Generator,
             d_state["params"])
         updates, opt_state = d_tx.update(grads, d_state["opt_state"],
                                          d_state["params"])
+        new_params = optax.apply_updates(d_state["params"], updates)
+        if d_skip_margin is not None:
+            apply_upd = metrics["fake_label"] < d_skip_margin
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(apply_upd, new, old),
+                new_params, d_state["params"])
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(apply_upd, new, old),
+                opt_state, d_state["opt_state"])
+            metrics = dict(metrics, d_skipped=1.0 - apply_upd)
         return {
-            "params": optax.apply_updates(d_state["params"], updates),
+            "params": new_params,
             "opt_state": opt_state,
             "step": d_state["step"] + 1,
         }, metrics
@@ -240,12 +270,16 @@ def train(config) -> dict:
     r1_lambda = float(config.get("r1_lambda", 1.0))
     noise0 = float(config.get("instance_noise", 0.0))
     noise_anneal = int(config.get("instance_noise_anneal", 10000))
-    if noise0 > 0.0:
+    noise_floor = float(config.get("instance_noise_floor", 0.0))
+    d_skip_margin = config.get("d_skip_margin", None)
+    d_skip_margin = None if d_skip_margin is None else float(d_skip_margin)
+    if noise0 > 0.0 or noise_floor > 0.0 or d_skip_margin is not None:
         log_print(f"[train] instance noise {noise0} annealed over "
-                  f"{noise_anneal} iters; r1_lambda {r1_lambda}")
+                  f"{noise_anneal} iters to floor {noise_floor}; "
+                  f"r1_lambda {r1_lambda}; d_skip_margin {d_skip_margin}")
 
     def noise_at(step: int) -> float:
-        return noise0 * max(0.0, 1.0 - step / max(noise_anneal, 1))
+        return noise_schedule(noise0, noise_anneal, noise_floor, step)
 
     stage = stage_of(global_step, iterations)
     dataset = ImageFolder(data_path, batch_sizes[stage],
@@ -253,7 +287,8 @@ def train(config) -> dict:
     d_step_fn, g_step_fn = make_gan_steps(generator, discriminator, g_tx,
                                           d_tx, resolutions[stage],
                                           r1_lambda=r1_lambda,
-                                          instance_noise=noise0 > 0.0)
+                                          instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
+                                          d_skip_margin=d_skip_margin)
     log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
               f"resolution:{resolutions[stage]}")
 
@@ -317,16 +352,23 @@ def train(config) -> dict:
                 d_step_fn, g_step_fn = make_gan_steps(
                     generator, discriminator, g_tx, d_tx,
                     resolutions[stage], r1_lambda=r1_lambda,
-                    instance_noise=noise0 > 0.0)
+                    instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
+                    d_skip_margin=d_skip_margin)
                 log_print(f"[Train] Entering stage {stage}, batch_size:"
                           f"{batch_sizes[stage]}, resolution:"
                           f"{resolutions[stage]}")
 
         if global_step % config.i_print == 0:
             _flush_loss_log(loss_log)
+            # D-saturation visibility: fake_label -> +inf with a tiny
+            # |g_loss| means G's gradient sigma(-fake_label) has starved
+            # (one extra scalar sync per i_print steps — negligible)
             log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx})"
                       f" d_loss: {loss_log['d_loss'][-1]} "
-                      f"g_loss: {loss_log['g_loss'][-1]}")
+                      f"g_loss: {loss_log['g_loss'][-1]} "
+                      f"fake_label: {float(m_d['fake_label']):.3f}"
+                      + (f" d_skipped: {float(m_d['d_skipped']):.0f}"
+                         if "d_skipped" in m_d else ""))
         if global_step % config.i_save == 0:
             # Sidecar BEFORE ckpt: resume truncates a loss_log that ran
             # ahead ([:global_step]), but one left behind (kill between the

@@ -347,6 +347,91 @@ def test_pigan_instance_noise_trains(tmp_path):
     assert len(out["loss_log"]["g_loss"]) == 6
 
 
+def test_pigan_noise_schedule_floor():
+    """noise_schedule anneals linearly to the floor, not past it, and
+    floor=0 reproduces the original anneal-to-zero."""
+    from msra_practice_project_tpu.train.train_pigan import noise_schedule
+
+    assert noise_schedule(0.3, 4, 0.0, 0) == 0.3
+    assert abs(noise_schedule(0.3, 4, 0.0, 2) - 0.15) < 1e-12
+    assert noise_schedule(0.3, 4, 0.0, 4) == 0.0
+    assert noise_schedule(0.3, 4, 0.0, 100) == 0.0
+    # with a floor the std never drops below it
+    assert noise_schedule(0.3, 4, 0.05, 4) == 0.05
+    assert noise_schedule(0.3, 4, 0.05, 1000) == 0.05
+    assert noise_schedule(0.3, 4, 0.05, 0) == 0.3
+    # floor alone (noise0 = 0) still yields constant noise
+    assert noise_schedule(0.0, 4, 0.02, 7) == 0.02
+
+
+def test_pigan_instance_noise_floor_trains(tmp_path):
+    """A floor-only config (constant noise, no anneal start) compiles the
+    noise path and trains finitely."""
+    from msra_practice_project_tpu.train import train_pigan
+
+    cfg = resolve({
+        "output_path": str(tmp_path), "experiment_name": "pigan_floor",
+        "data_path": "/nonexistent", "z_dim": 16,
+        "render_coarse_sample_num": 2, "render_fine_sample_num": 2,
+        "iterations": [4], "fade_in_itrs": [0],
+        "batch_size": [2], "resolution": [8],
+        "i_print": 100, "i_save": 100, "i_image": 100, "data_n": 4,
+        "instance_noise": 0.0, "instance_noise_floor": 0.05,
+    }, PIGAN_TRAIN_DEFAULTS)
+    out = train_pigan.train(cfg)
+    assert np.isfinite(out["loss_log"]["d_loss"]).all()
+    assert np.isfinite(out["loss_log"]["g_loss"]).all()
+    assert len(out["loss_log"]["g_loss"]) == 4
+
+
+def test_pigan_d_skip_margin_gates_the_update():
+    """With d_skip_margin set, the D update is dropped exactly when
+    E[D(fake)] exceeds the margin (params+opt state unchanged, step still
+    counted, d_skipped metric set) and applied when below; margin=None
+    reproduces the reference graph bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.train import common as tcommon
+    from msra_practice_project_tpu.train.train_pigan import make_gan_steps
+
+    gen_cfg = pigan.GeneratorConfig(z_dim=8, resolution=8, near=0.5,
+                                    far=1.5, coarse_samples=2,
+                                    fine_samples=2)
+    gen = pigan.Generator(gen_cfg)
+    disc = pigan.Discriminator()
+    tx = tcommon.adam(1e-4, betas=(0.0, 0.9))
+    g_state = tcommon.init_state(gen.init(jax.random.PRNGKey(0)), tx)
+    d_state = tcommon.init_state(disc.init(jax.random.PRNGKey(1)), tx)
+
+    key = jax.random.PRNGKey(2)
+    z = jax.random.normal(key, (2, 8))
+    real = jax.random.uniform(jax.random.fold_in(key, 1), (2, 3, 8, 8))
+
+    d_ref, _ = make_gan_steps(gen, disc, tx, tx, 8)
+    _, m_ref = d_ref(d_state, g_state["params"], real, z, key, -1.0)
+    fake_label = float(m_ref["fake_label"])
+
+    # margin below the measured fake_label -> D is "too far ahead": skip
+    d_skip, _ = make_gan_steps(gen, disc, tx, tx, 8,
+                               d_skip_margin=fake_label - 1.0)
+    s_skip, m_skip = d_skip(d_state, g_state["params"], real, z, key, -1.0)
+    assert float(m_skip["d_skipped"]) == 1.0
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), s_skip["params"], d_state["params"])
+    assert int(s_skip["step"]) == int(d_state["step"]) + 1
+
+    # margin above -> the update applies and matches the reference update
+    d_go, _ = make_gan_steps(gen, disc, tx, tx, 8,
+                             d_skip_margin=fake_label + 1.0)
+    s_go, m_go = d_go(d_state, g_state["params"], real, z, key, -1.0)
+    s_ref, _ = d_ref(d_state, g_state["params"], real, z, key, -1.0)
+    assert float(m_go["d_skipped"]) == 0.0
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6),
+        s_go["params"], s_ref["params"])
+
+
 def test_pigan_noise_std_zero_matches_no_noise_graph():
     """With instance_noise compiled in but noise_std == 0 the added term is
     exactly zero: only the RNG split differs from the reference graph, so
@@ -407,6 +492,30 @@ def test_lowfreq_spatial_std_rejects_speckle():
     assert lf_speckle < 0.4 * raw_speckle
     assert lf_blob > 0.8 * float(blobs.std(axis=(1, 2)).mean())
     assert lf_blob > 3 * lf_speckle
+
+
+def test_center_corner_contrast_detects_heads_not_fog():
+    """The head-formation diagnostic: a centred blob on light background
+    scores high; fog/mottled fields (even high-variance ones) score ~0."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.validate_pigan import center_corner_contrast
+
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    blob = 0.9 - 0.8 * np.exp(
+        -(((yy - 0.5) ** 2 + (xx - 0.5) ** 2) / 0.03))
+    heads = np.tile(blob[None, :, :, None], (4, 1, 1, 3)).astype(np.float32)
+
+    rng = np.random.RandomState(0)
+    fog = rng.uniform(0.3, 1.0, size=(4, 8, 8, 3)).astype(np.float32)
+    fog = np.repeat(np.repeat(fog, 8, axis=1), 8, axis=2)  # coarse mottle
+
+    # ~5x separation: centred structure scores high, uncorrelated mottle
+    # retains only the patch-mean sampling noise (~0.1 for this contrast)
+    assert center_corner_contrast(heads) > 0.3
+    assert center_corner_contrast(fog) < 0.2
+    assert center_corner_contrast(heads) > 3 * center_corner_contrast(fog)
 
 
 def test_train_sdf_reshuffles_each_epoch(tmp_path, monkeypatch):
