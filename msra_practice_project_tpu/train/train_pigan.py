@@ -92,7 +92,15 @@ def make_gan_steps(generator: pigan.Generator,
     otherwise saturates within ~2k iterations (E[D(fake)] ~ +3.4 measured)
     and the saturating g_loss gradient sigma(-u) starves G; the cap keeps
     the game in the informative-gradient regime.  In-graph via jnp.where,
-    so one compiled program serves both outcomes."""
+    so one compiled program serves both outcomes.
+
+    Measured caveat (bigface probe, margin 1.5): an extended freeze makes
+    D static and G can overfit the frozen landscape into a degenerate
+    minimum (observed: exact-zero empty-field renders by 1k iterations,
+    stuck through 3k with fake_label pinned at 2.3).  Prefer a lower
+    discriminator lr (a continuous rebalance that keeps D learning) for
+    chronic D dominance; reserve the margin for shaving rare saturation
+    spikes with a HIGH threshold (>= 3)."""
     g_apply = generator.apply
     d_apply = discriminator.apply
 
