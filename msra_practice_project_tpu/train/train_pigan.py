@@ -73,7 +73,8 @@ def make_gan_steps(generator: pigan.Generator,
                    discriminator: pigan.Discriminator,
                    g_tx, d_tx, resolution: int, r1_lambda: float = 1.0,
                    instance_noise: bool = False,
-                   d_skip_margin: float | None = None):
+                   d_skip_margin: float | None = None,
+                   diff_augment_policy: str = ""):
     """Jitted (d_step, g_step) for a progressive stage (static resolution).
 
     `instance_noise=True` compiles steps that add N(0, noise_std^2) pixel
@@ -100,26 +101,50 @@ def make_gan_steps(generator: pigan.Generator,
     stuck through 3k with fake_label pinned at 2.3).  Prefer a lower
     discriminator lr (a continuous rebalance that keeps D learning) for
     chronic D dominance; reserve the margin for shaving rare saturation
-    spikes with a HIGH threshold (>= 3)."""
+    spikes with a HIGH threshold (>= 3).
+
+    `diff_augment_policy` ("" = off = reference dynamics): DiffAugment
+    (Zhao et al. 2020) — the same random differentiable augmentations on
+    real AND fake before D, in both losses (see train/diff_augment.py).
+    The data-efficient-GAN fix for D memorising a small real set."""
     g_apply = generator.apply
     d_apply = discriminator.apply
+    use_aug = bool(diff_augment_policy)
+    if use_aug:
+        from . import diff_augment as da
+        da.parse_policy(diff_augment_policy)  # fail fast on a bad policy
 
     def noisy(x, key, noise_std):
         if not instance_noise:
             return x
         return x + noise_std * jax.random.normal(key, x.shape, x.dtype)
 
+    def aug(x, key):
+        if not use_aug:
+            return x
+        from . import diff_augment as da
+        return da.augment(x, key, diff_augment_policy)
+
     @jax.jit
     def d_step(d_state, g_params, real, z, key, alpha, noise_std=0.0):
-        # no-noise path keeps the exact pre-existing RNG stream
-        k_fake, k_nf, k_nr = (jax.random.split(key, 3) if instance_noise
-                              else (key, None, None))
+        # noise-only and off paths keep their exact pre-existing RNG
+        # streams (deterministic resume of older runs)
+        if use_aug and instance_noise:
+            k_fake, k_nf, k_nr, k_af, k_ar = jax.random.split(key, 5)
+        elif instance_noise:
+            (k_fake, k_nf, k_nr), k_af, k_ar = \
+                jax.random.split(key, 3), None, None
+        elif use_aug:
+            (k_fake, k_af, k_ar), k_nf, k_nr = \
+                jax.random.split(key, 3), None, None
+        else:
+            k_fake, k_nf, k_nr, k_af, k_ar = key, None, None, None, None
 
         def loss_fn(d_params):
             fake = g_apply(jax.lax.stop_gradient(g_params), k_fake, z,
                            resolution)
-            fake = noisy(fake, k_nf, noise_std)
-            real_n = noisy(real, k_nr, noise_std)
+            fake = noisy(aug(fake, k_af), k_nf, noise_std)
+            real_n = noisy(aug(real, k_ar), k_nr, noise_std)
             fake_label = d_apply(d_params, fake, resolution, alpha)
             real_label = d_apply(d_params, real_n, resolution, alpha)
             r1 = r1_penalty(d_apply, d_params, real_n, resolution, alpha)
@@ -151,12 +176,18 @@ def make_gan_steps(generator: pigan.Generator,
 
     @jax.jit
     def g_step(g_state, d_params, z, key, alpha, noise_std=0.0):
-        k_fake, k_nf = (jax.random.split(key) if instance_noise
-                        else (key, None))
+        if use_aug and instance_noise:
+            k_fake, k_nf, k_af = jax.random.split(key, 3)
+        elif instance_noise:
+            (k_fake, k_nf), k_af = jax.random.split(key), None
+        elif use_aug:
+            (k_fake, k_af), k_nf = jax.random.split(key), None
+        else:
+            k_fake, k_nf, k_af = key, None, None
 
         def loss_fn(g_params):
             fake = g_apply(g_params, k_fake, z, resolution)
-            fake = noisy(fake, k_nf, noise_std)
+            fake = noisy(aug(fake, k_af), k_nf, noise_std)
             fake_label = d_apply(jax.lax.stop_gradient(d_params), fake,
                                  resolution, alpha)
             loss = jnp.mean(loss_f(fake_label))
@@ -281,10 +312,13 @@ def train(config) -> dict:
     noise_floor = float(config.get("instance_noise_floor", 0.0))
     d_skip_margin = config.get("d_skip_margin", None)
     d_skip_margin = None if d_skip_margin is None else float(d_skip_margin)
-    if noise0 > 0.0 or noise_floor > 0.0 or d_skip_margin is not None:
+    aug_policy = str(config.get("diff_augment", "") or "")
+    if (noise0 > 0.0 or noise_floor > 0.0 or d_skip_margin is not None
+            or aug_policy):
         log_print(f"[train] instance noise {noise0} annealed over "
                   f"{noise_anneal} iters to floor {noise_floor}; "
-                  f"r1_lambda {r1_lambda}; d_skip_margin {d_skip_margin}")
+                  f"r1_lambda {r1_lambda}; d_skip_margin {d_skip_margin}; "
+                  f"diff_augment '{aug_policy}'")
 
     def noise_at(step: int) -> float:
         return noise_schedule(noise0, noise_anneal, noise_floor, step)
@@ -296,7 +330,8 @@ def train(config) -> dict:
                                           d_tx, resolutions[stage],
                                           r1_lambda=r1_lambda,
                                           instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
-                                          d_skip_margin=d_skip_margin)
+                                          d_skip_margin=d_skip_margin,
+                                          diff_augment_policy=aug_policy)
     log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
               f"resolution:{resolutions[stage]}")
 
@@ -361,7 +396,8 @@ def train(config) -> dict:
                     generator, discriminator, g_tx, d_tx,
                     resolutions[stage], r1_lambda=r1_lambda,
                     instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
-                    d_skip_margin=d_skip_margin)
+                    d_skip_margin=d_skip_margin,
+                    diff_augment_policy=aug_policy)
                 log_print(f"[Train] Entering stage {stage}, batch_size:"
                           f"{batch_sizes[stage]}, resolution:"
                           f"{resolutions[stage]}")

@@ -84,7 +84,7 @@ def sample(generator, g_params, key, n, res):
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
          resume=False, variant="shaded", noise=0.0, dlr=None, floor=0.0,
-         margin=None):
+         margin=None, augment=""):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -143,6 +143,9 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         # --margin: cap D's advantage — skip D updates while E[D(fake)]
         # exceeds the margin (see train_pigan.make_gan_steps docstring)
         **({} if margin is None else {"d_skip_margin": margin}),
+        # --aug "color,translation,cutout": DiffAugment on real+fake
+        # before D (train/diff_augment.py)
+        **({} if not augment else {"diff_augment": augment}),
         **schedule,
         # the reference's D lr is 8x G's (4e-4 vs 5e-5, tuned for CelebA);
         # on easy synthetic data that ratio lets D saturate — --dlr scales
@@ -331,6 +334,11 @@ if __name__ == "__main__":
         i = raw.index("--margin")
         margin = float(raw[i + 1])
         raw = raw[:i] + raw[i + 2:]
+    augment = ""
+    if "--aug" in raw:
+        i = raw.index("--aug")
+        augment = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
     argv = [a for a in raw if a not in ("--resume", "--face", "--bigface")]
     resume = "--resume" in raw
     variant = ("bigface" if "--bigface" in raw
@@ -341,5 +349,5 @@ if __name__ == "__main__":
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
     ok = main(its, s1, fade, batch0, data_n, resume, variant, noise, dlr,
-              floor, margin)
+              floor, margin, augment)
     sys.exit(0 if ok else 1)
