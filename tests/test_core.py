@@ -480,7 +480,9 @@ def test_all_shipped_configs_load_verbatim():
         assert cfg["experiment_name"], path
         assert cfg["iterations"], path
         n += 1
-    assert n == 49, f"expected 49 shipped configs, found {n}"
+    # 49 reference-mirrored configs + synthetic_bigface.json (the offline
+    # pi-GAN recipe validated in BASELINE.md's probe rows)
+    assert n == 50, f"expected 50 shipped configs, found {n}"
     # spot values straight from the reference files
     lego = resolve(load_config(os.path.join(root, "nerf", "lego.json")),
                    NERF_TRAIN_DEFAULTS)
