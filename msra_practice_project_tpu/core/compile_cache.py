@@ -16,8 +16,17 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
-                            "msra_tpu_xla_cache")
+# Under the durable run root (default <repo>/runs/.xla_cache), NOT ~/.cache:
+# host restarts wipe ~/.cache (observed 2026-08-18 — every entry point went
+# back to 20-350 s cold compiles), while the repo volume survives.
+from msra_practice_project_tpu.core.artifacts import durable_root
+
+_LEGACY_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                           "msra_tpu_xla_cache")
+
+
+def _default_dir() -> str:
+    return os.path.join(durable_root(), ".xla_cache")
 
 # Only persist compiles that cost real time; keeps the tiny always-changing
 # test graphs (CPU backend, random shapes) from churning the cache.
@@ -37,14 +46,32 @@ def enable(cache_dir: str | None = None) -> bool:
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return True  # user already configured jax's own knob
     path = (cache_dir or os.environ.get("MSRA_TPU_COMPILE_CACHE_DIR")
-            or _DEFAULT_DIR)
+            or _default_dir())
     try:
         import jax
 
         os.makedirs(path, exist_ok=True)
+        _adopt_legacy_entries(path)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           _MIN_COMPILE_SECS)
     except Exception:
         return False
     return True
+
+
+def _adopt_legacy_entries(path: str) -> None:
+    """One-time migration: hard-link any surviving ~/.cache entries into the
+    durable dir so a warm cache isn't thrown away by the relocation."""
+    try:
+        if not os.path.isdir(_LEGACY_DIR):
+            return
+        for name in os.listdir(_LEGACY_DIR):
+            dst = os.path.join(path, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(os.path.join(_LEGACY_DIR, name), dst)
+                except OSError:
+                    pass
+    except OSError:
+        pass

@@ -34,7 +34,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = "/tmp/nerf_soak"
+# Durable root, not /tmp: host restarts wipe /tmp (BASELINE.md "RUN
+# LOST" row); see core/artifacts.py.
+from msra_practice_project_tpu.core.artifacts import run_dir
+BASE = run_dir("nerf_soak")
 
 
 def sh(args, **kw):

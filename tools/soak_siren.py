@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = "/tmp/siren_soak"
+# Durable root, not /tmp: host restarts wipe /tmp (BASELINE.md "RUN
+# LOST" row); see core/artifacts.py.
+from msra_practice_project_tpu.core.artifacts import run_dir
+BASE = run_dir("siren_soak")
 CFG_DIR = os.path.join(REPO, "msra_practice_project_tpu", "configs", "siren")
 
 

@@ -93,7 +93,10 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     `batch0` is the stage-0 batch size (the reference trains stage 0 at
     batch 64, pi_GAN/configs/test.json); stage 1 stays at 16."""
     two_stage = stage1_iters > 0
-    base = "/tmp/pigan_validate"
+    # Durable root (default <repo>/runs), NOT /tmp: the r3 flagship died at
+    # ~30k when a host restart wiped its /tmp experiment dir (BASELINE.md).
+    from msra_practice_project_tpu.core.artifacts import run_dir
+    base = run_dir("pigan_validate")
     name = ("exp2" if two_stage else "exp") + \
         ("" if variant == "shaded" else f"_{variant}")
     # A supervised RESTART (tools/supervise.py re-running us after a
