@@ -14,14 +14,20 @@ import jax.numpy as jnp
 
 
 def stratified_samples(key, near, far, n_samples: int, batch_shape,
-                       perturb: bool = True, dtype=jnp.float32):
+                       perturb: bool = True, dtype=None):
     """Linspace z in [near, far] with per-interval uniform jitter
     (ref: nerf/render.py:123,127-132).
 
     Returns (z_vals [*batch_shape, n], mids [*batch_shape, n-1]).
     `mids` are midpoints of the *unjittered* grid, exactly what the reference
     feeds to sample_pdf as bins.
+
+    dtype=None follows the active default float (f32 normally; f64 under
+    jax.enable_x64 — the reference-parity test runs the whole render chain
+    in float64 to factor out cross-backend fp32 rounding).
     """
+    if dtype is None:
+        dtype = jnp.result_type(float)
     z = jnp.linspace(near, far, n_samples, dtype=dtype)
     z = jnp.broadcast_to(z, (*batch_shape, n_samples))
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
