@@ -73,6 +73,30 @@ def center_corner_contrast(imgs, frac=4):
     return float(np.abs(center - corners).mean())
 
 
+def decide_resume(exp_dir, resume=False, fresh=False):
+    """Host-restart-safe resume decision (VERDICT r3 #2).
+
+    After a full host restart, SUPERVISE_ATTEMPT is 1 again and argv flags
+    are whatever the relauncher typed — the only durable signal is the
+    experiment dir itself.  So: checkpoints in the durable dir => resume,
+    unless --fresh explicitly asks for a wipe.  SUPERVISE_ATTEMPT > 1
+    (in-session watchdog restart) still forces resume as before.
+    """
+    if fresh:
+        return False
+    if int(os.environ.get("SUPERVISE_ATTEMPT", "1")) > 1:
+        return True
+    if resume:
+        return True
+    if os.path.isdir(exp_dir):
+        from msra_practice_project_tpu.core import ckpt as ckpt_lib
+        if ckpt_lib.list_checkpoints(exp_dir):
+            print(f"[validate] checkpoints found in {exp_dir} — "
+                  "auto-resuming (pass --fresh to wipe and restart)")
+            return True
+    return False
+
+
 def sample(generator, g_params, key, n, res):
     z = jax.random.normal(key, (n, generator.cfg.z_dim))
     film = generator.get_mapping(g_params, z)
@@ -84,7 +108,7 @@ def sample(generator, g_params, key, n, res):
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
          resume=False, variant="shaded", noise=0.0, dlr=None, floor=0.0,
-         margin=None, augment=""):
+         margin=None, augment="", fresh=False):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -99,12 +123,10 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     base = run_dir("pigan_validate")
     name = ("exp2" if two_stage else "exp") + \
         ("" if variant == "shaded" else f"_{variant}")
-    # A supervised RESTART (tools/supervise.py re-running us after a
-    # watchdog exit) must resume even when the original argv lacked
-    # --resume — wiping the experiment dir here would restart the long run
-    # from zero on every tunnel wedge.
-    if int(os.environ.get("SUPERVISE_ATTEMPT", "1")) > 1:
-        resume = True
+    # Resume on: explicit --resume, a supervised restart (watchdog exit),
+    # OR checkpoints already present in the durable dir (host-restart
+    # relaunch, where both other signals are lost).  --fresh wipes.
+    resume = decide_resume(os.path.join(base, name), resume, fresh)
     if not resume:
         import shutil
         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
@@ -342,8 +364,10 @@ if __name__ == "__main__":
         i = raw.index("--aug")
         augment = raw[i + 1]
         raw = raw[:i] + raw[i + 2:]
-    argv = [a for a in raw if a not in ("--resume", "--face", "--bigface")]
+    argv = [a for a in raw
+            if a not in ("--resume", "--face", "--bigface", "--fresh")]
     resume = "--resume" in raw
+    fresh = "--fresh" in raw
     variant = ("bigface" if "--bigface" in raw
                else "face" if "--face" in raw else "shaded")
     its = int(argv[0]) if len(argv) > 0 else 1200
@@ -352,5 +376,5 @@ if __name__ == "__main__":
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
     ok = main(its, s1, fade, batch0, data_n, resume, variant, noise, dlr,
-              floor, margin, augment)
+              floor, margin, augment, fresh)
     sys.exit(0 if ok else 1)
