@@ -194,15 +194,24 @@ def _rf_embed(imgs, params):
     return jnp.concatenate([h.mean(axis=(2, 3)), h.std(axis=(2, 3))], axis=1)
 
 
+def frechet_from_features(fa, fb):
+    """Fréchet distance (diagonal covariance) between two feature sets
+    [N, F].  Lower is better; 0 iff the per-feature means and variances
+    match.  Shared by the random-conv embedding below and the trained-D
+    embedding (models.pigan.Discriminator.apply_features)."""
+    fa = np.asarray(fa, np.float64)
+    fb = np.asarray(fb, np.float64)
+    mu_a, mu_b = fa.mean(0), fb.mean(0)
+    var_a, var_b = fa.var(0), fb.var(0)
+    return float(((mu_a - mu_b) ** 2).sum()
+                 + ((np.sqrt(var_a) - np.sqrt(var_b)) ** 2).sum())
+
+
 def feature_distance(imgs_a, imgs_b, seed: int = 0):
     """Fréchet distance (diagonal covariance) between two image sets in a
     FIXED random-conv feature space — the weight-free stand-in for FID that
     VERDICT r2 weak #6 asks for.  imgs [N, H, W, 3] in [0,1]; both sets must
     share H, W.  Lower is better; 0 iff the feature distributions match."""
     params = _random_feature_params(seed)
-    fa = np.asarray(_rf_embed(jnp.asarray(imgs_a), params), np.float64)
-    fb = np.asarray(_rf_embed(jnp.asarray(imgs_b), params), np.float64)
-    mu_a, mu_b = fa.mean(0), fb.mean(0)
-    var_a, var_b = fa.var(0), fb.var(0)
-    return float(((mu_a - mu_b) ** 2).sum()
-                 + ((np.sqrt(var_a) - np.sqrt(var_b)) ** 2).sum())
+    return frechet_from_features(_rf_embed(jnp.asarray(imgs_a), params),
+                                 _rf_embed(jnp.asarray(imgs_b), params))

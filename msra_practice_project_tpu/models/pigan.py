@@ -450,3 +450,24 @@ class Discriminator:
                 h = jnp.where(fade, blend, h)
         out = _conv(params["out"], h)          # [N, 1, 1, 1]
         return out.reshape(out.shape[0])
+
+    @partial(jax.jit, static_argnames=("self", "resolution"))
+    def apply_features(self, params, x, resolution: int):
+        """Penultimate activations pooled to [N, 2*C] (spatial mean ‖ std).
+
+        The trained-D feature embedding for the D-feature Fréchet quality
+        gate (VERDICT r3 #5): background colour statistics that satisfy the
+        weight-free random-conv Fréchet don't survive an embedding the
+        discriminator learned while separating real from fake.  No fade-in
+        blending — features are read at the full entry resolution."""
+        step = self.n_layers - int(math.log2(resolution)) + 1
+        if not 0 <= step < len(params["adapters"]):
+            top = 2 ** (self.n_layers + 1)
+            raise ValueError(
+                f"resolution {resolution} outside the discriminator's "
+                f"progressive ladder 4..{top}")
+        h = jax.nn.leaky_relu(_conv(params["adapters"][step], x), 0.2)
+        for i in range(step, self.n_layers):
+            h = self._block(params["blocks"][i], h)
+        return jnp.concatenate(
+            [h.mean(axis=(2, 3)), h.std(axis=(2, 3))], axis=1)

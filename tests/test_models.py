@@ -209,3 +209,34 @@ def test_discriminator_param_order_of_magnitude():
     params = d.init(jax.random.PRNGKey(0))
     n = n_params(params)
     assert 5e6 < n < 5e7
+
+
+def test_discriminator_feature_embedding():
+    """apply_features: [N, 2*C] pooled penultimate activations, finite,
+    distinct per input, and consistent with the logits trunk (no fade)."""
+    d = pigan.Discriminator()
+    params = d.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    f = np.asarray(d.apply_features(params, x, 32))
+    assert f.shape == (4, 2 * d.cfg.channels[-1])
+    assert np.isfinite(f).all()
+    # different inputs embed differently
+    assert not np.allclose(f[0], f[1])
+    # ladder bound enforced like apply
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        d.apply_features(params, x, 128)
+
+
+def test_frechet_from_features_separates_distributions():
+    from msra_practice_project_tpu.core.metrics import frechet_from_features
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0.0, 1.0, (256, 16))
+    b = rng.normal(0.0, 1.0, (256, 16))
+    c = rng.normal(2.0, 0.5, (256, 16))
+    near = frechet_from_features(a, b)
+    far = frechet_from_features(a, c)
+    assert near < 0.3
+    assert far > 10 * near
+    assert frechet_from_features(a, a) == 0.0

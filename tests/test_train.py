@@ -671,3 +671,71 @@ def test_save_ordering_log_before_ckpt(tmp_path, monkeypatch):
                i_print=100, i_save=2, i_image=100)
     train_pigan.train(cfg)
     assert events[:4] == ["log", "ckpt", "log", "ckpt"], events
+
+
+# ---------------------------------------------------------------------------
+# Driver-level DP smoke (VERDICT r3 #9): the full CLI path — main() ->
+# parse_cli -> train() — on the 8-device virtual mesh with data parallelism
+# auto-engaged (batch % n_devices == 0), not just the step functions.
+# ---------------------------------------------------------------------------
+
+
+def _write_cfg(tmp_path, name, **kw):
+    p = tmp_path / f"{name}.json"
+    p.write_text(json.dumps({"output_path": str(tmp_path),
+                             "experiment_name": name, **kw}))
+    return str(p)
+
+
+def test_main_nerf_dp_resume_exact(tmp_path, capsys):
+    """train_nerf.main() under DP, crossing epoch reshuffles and one resume:
+    kill-at-8 + relaunch must reproduce the uninterrupted 14-step run's loss
+    history exactly (batch stream is a pure function of (seed, cfg, step)).
+    data_size=8 -> epoch_len 3, so reshuffles happen on both sides of the
+    kill; batch 64 % 8 devices == 0 engages the sharded DP ray buffer."""
+    import jax
+    from msra_practice_project_tpu.core.logging import MetricLogger
+    from msra_practice_project_tpu.train import train_nerf
+
+    assert len(jax.devices()) == 8
+    common_kw = dict(data_path="/nonexistent", batch_size=64, start_up_itrs=3,
+                     render_coarse_sample_num=4, render_fine_sample_num=4,
+                     i_print=100, i_image=100, i_save=8, data_size=8)
+    train_nerf.main([_write_cfg(tmp_path, "m_full", iterations=14,
+                                **common_kw)])
+    # the killed run: same config, stop at 8, then relaunch with 14
+    cfg_kill = _write_cfg(tmp_path, "m_kill", iterations=8, **common_kw)
+    train_nerf.main([cfg_kill])
+    train_nerf.main([cfg_kill, "iterations=14"])
+    assert "data-parallel over 8 devices" in capsys.readouterr().out
+
+    full = MetricLogger.load(str(tmp_path / "m_full" / "log.npy"))["loss"]
+    res = MetricLogger.load(str(tmp_path / "m_kill" / "log.npy"))["loss"]
+    assert len(full) == len(res) == 14
+    assert np.isfinite(full).all()
+    np.testing.assert_allclose(full, res, rtol=1e-6)
+
+
+def test_main_pigan_dp_stage_switch(tmp_path, capsys):
+    """train_pigan.main() under DP, crossing the progressive stage switch
+    (8^2 batch 8 -> 16^2 batch 8 with fade-in) with every batch divisible by
+    the 8-device mesh — the existing stage-switch fixture uses batches 4/2,
+    which silently bypasses DP."""
+    import jax
+    from msra_practice_project_tpu.train import train_pigan
+
+    assert len(jax.devices()) == 8
+    cfg = _write_cfg(
+        tmp_path, "m_pigan", data_path="/nonexistent", z_dim=32,
+        render_coarse_sample_num=2, render_fine_sample_num=4,
+        iterations=[4, 8], fade_in_itrs=[0, 2], batch_size=[8, 8],
+        resolution=[8, 16], i_print=100, i_save=8, i_image=100, data_n=8)
+    train_pigan.main([cfg])
+    assert "data-parallel over 8 devices" in capsys.readouterr().out
+
+    log = np.load(tmp_path / "m_pigan" / "loss_log.npy",
+                  allow_pickle=True).item()
+    assert len(log["d_loss"]) == 8 and len(log["g_loss"]) == 8
+    assert np.isfinite(log["d_loss"]).all()
+    assert np.isfinite(log["g_loss"]).all()
+    assert (tmp_path / "m_pigan" / "000008.ckpt").exists()

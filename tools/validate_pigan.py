@@ -215,10 +215,27 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # feature-space distribution distance (random-conv Fréchet — the
     # weight-free FID stand-in, VERDICT r2 weak #6): a generator that only
     # matches colour statistics but not spatial structure won't close this.
-    from msra_practice_project_tpu.core.metrics import feature_distance
+    from msra_practice_project_tpu.core.metrics import (feature_distance,
+                                                        frechet_from_features)
     real_np = np.asarray(real)
     f0 = feature_distance(samples0, real_np)
     f1 = feature_distance(samples1, real_np)
+    # Trained-D feature Fréchet (VERDICT r3 #5): the random-conv space was
+    # satisfied by background statistics alone in the r3 collapse forensics
+    # (best-ever rf-Fréchet 0.079 on a flat-field run).  Features the
+    # discriminator LEARNED while separating real from fake don't have that
+    # blind spot — embed real + samples with the trained D and gate on the
+    # same improvement ratio.
+    d_model = out["discriminator"]
+    d_params = out["d_state"]["params"]
+
+    def d_embed(imgs):
+        x = jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2))
+        return d_model.apply_features(d_params, x, res)
+
+    ef_real = d_embed(real_np[:64])
+    fd0 = frechet_from_features(d_embed(samples0), ef_real)
+    fd1 = frechet_from_features(d_embed(samples1), ef_real)
     # Per-image spatial structure: std over (H, W) within each sample,
     # averaged over batch+channels.  Catches the flat-field collapse the
     # 30k batch-64 run exhibited — per-sample flat colour fields keep
@@ -251,17 +268,28 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     print(f"[validate] hist distance untrained {d0:.4f} -> trained {d1:.4f}")
     print(f"[validate] feature (rf-frechet) untrained {f0:.4f} -> "
           f"trained {f1:.4f}")
+    print(f"[validate] trained-D feature frechet untrained {fd0:.4f} -> "
+          f"trained {fd1:.4f}")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
     print(f"[validate] within-image spatial std: real {spatial_real:.4f}, "
           f"untrained {spatial0:.4f} -> trained {spatial1:.4f} "
           "(flat-field collapse if << real)")
     print(f"[validate] LOW-FREQ spatial std (4x pooled): real {lf_real:.4f}"
           f" -> trained {lf1:.4f} (speckle scores ~0 here)")
+    cc_ok = True
     if variant in ("face", "bigface"):
         cc_real = center_corner_contrast(real_np)
         cc1 = center_corner_contrast(samples1)
+        # GATED since r4 (was diagnostic-only): heads are centred objects on
+        # light backgrounds, so fog / mottled colour fields score ~0-13% of
+        # real here no matter what the distribution metrics say (every r3
+        # compressed run sat at 10-13%).  Bar 25% of real — between the
+        # structureless ceiling and genuine head formation; calibrated
+        # against the flagship ckpt trajectory when it lands.
+        cc_ok = bool(cc1 > 0.25 * cc_real)
         print(f"[validate] center-corner contrast (head formation): real "
-              f"{cc_real:.4f} -> trained {cc1:.4f} (fog scores ~0)")
+              f"{cc_real:.4f} -> trained {cc1:.4f} (fog scores ~0; "
+              f"gate >25% of real: {'ok' if cc_ok else 'FAIL'})")
 
     # Long-horizon stability (VERDICT r2 next-round #3): the loss curves
     # must stay finite with no late divergence, and the sample-diversity
@@ -327,13 +355,15 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # low-freq form: per-pixel speckle (which the raw std rewards) pools
     # away, so only genuine structure can clear the bar
     spatial_ok = lf1 > 0.4 * lf_real
-    ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and diversity > 0.02 \
+    ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and (fd1 < 0.5 * fd0) \
+        and diversity > 0.02 \
         and 1e-4 < delta < 0.3 and finite and tail_ok and no_collapse \
-        and spatial_ok
+        and spatial_ok and cc_ok
     print("[validate]", "PASS" if ok else "FAIL",
-          "(hist improves >=34%, rf-frechet improves >=50%, diverse "
-          "samples, LOW-FREQ spatial structure >=40% of real, "
-          "view-consistent, losses stable, no collapse)")
+          "(hist improves >=34%, rf-frechet improves >=50%, trained-D "
+          "frechet improves >=50%, diverse samples, LOW-FREQ spatial "
+          "structure >=40% of real, head contrast >=25% of real on face "
+          "variants, view-consistent, losses stable, no collapse)")
     return ok
 
 
