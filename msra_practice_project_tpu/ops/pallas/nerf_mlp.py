@@ -180,6 +180,98 @@ def _forward_tile(x, w, bf16, store_bf16=False):
                 h5=h5, h6=h6, h7=h7, sig=sig, hd=hd, h9=h9, rgb=rgb)
 
 
+def _stage_specs(w, bf16):
+    """The forward as (mxu, epi) stage pairs for the software-pipelined
+    kernel (VERDICT r3 #6): ``mxu(env) -> pre`` is the MXU work of a stage
+    (matmuls only), ``epi(env, pre)`` the VPU epilogue (bias/relu/sin/
+    sigmoid/cast) writing the stage output into ``env``.  Splitting the two
+    lets the kernel interleave chain A's epilogues between chain B's matmul
+    issues in PROGRAM ORDER — the co-scheduling neither Mosaic nor XLA
+    found when merely offered independent chains (BASELINE r3 addendum).
+    Values are bitwise-identical to _forward_tile(store_bf16=bf16)."""
+    st = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (lambda a: a)
+
+    def dense(src, wk, bk, out):
+        def mxu(env, _w=wk):
+            return _mm(env[src], w[_w], bf16)
+
+        def epi(env, pre, _b=bk, _o=out):
+            env[_o] = st(jax.nn.relu(pre + w[_b]))
+        return mxu, epi
+
+    def pe0_epi(env, pre):
+        env["sc"] = jnp.concatenate([jnp.sin(pre), jnp.cos(pre)], axis=1)
+
+    def pe1_epi(env, pre):
+        env["pe_p"] = st(pre[:, :PE_POS])
+        env["pe_d"] = st(pre[:, PE_POS:])
+
+    def skip_mxu(env):
+        return _mm(env["pe_p"], w["W5a"], bf16) + _mm(env["h4"], w["W5b"],
+                                                      bf16)
+
+    def skip_epi(env, pre):
+        env["h5"] = st(jax.nn.relu(pre + w["b5"]))
+
+    def heads_mxu(env):
+        return (_mm(env["h7"], w["Ws"], bf16), _mm(env["h7"], w["W8"], bf16))
+
+    def heads_epi(env, pre):
+        env["sig"] = jax.nn.relu(pre[0] + w["bs"])
+        env["hd"] = st(pre[1] + w["b8"])
+
+    def dir_mxu(env):
+        return _mm(env["hd"], w["W9a"], bf16) + _mm(env["pe_d"], w["W9b"],
+                                                    bf16)
+
+    def dir_epi(env, pre):
+        env["h9"] = st(jax.nn.relu(pre + w["b9"]))
+
+    def rgb_epi(env, pre):
+        env["rgb"] = jax.nn.sigmoid(pre + w["br"])
+
+    return (
+        [(lambda env: _mm(env["x"], w["F_all"], False), pe0_epi),
+         (lambda env: _mm(env["sc"], w["S_all"], False), pe1_epi),
+         dense("pe_p", "W0", "b0", "h0")]
+        + [dense(f"h{i - 1}", f"W{i}", f"b{i}", f"h{i}") for i in range(1, 5)]
+        + [(skip_mxu, skip_epi),
+           dense("h5", "W6", "b6", "h6"),
+           dense("h6", "W7", "b7", "h7"),
+           (heads_mxu, heads_epi),
+           (dir_mxu, dir_epi),
+           (lambda env: _mm(env["h9"], w["Wr"], bf16), rgb_epi)]
+    )
+
+
+def _forward_tile_pipelined(xA, xB, w, bf16):
+    """Run two half-tiles through _stage_specs with a half-stage stagger:
+    the instruction stream is  epiA(s-1), mxuA(s), epiB(s-1), mxuB(s)  —
+    every matmul issue is immediately followed by the OTHER chain's
+    already-satisfied epilogue, giving the VLIW scheduler VPU work to
+    co-issue under each MXU pass."""
+    specs = _stage_specs(w, bf16)
+    envA, envB = {"x": xA}, {"x": xB}
+    preA = specs[0][0](envA)
+    preB = specs[0][0](envB)
+    for s in range(1, len(specs)):
+        specs[s - 1][1](envA, preA)
+        preA = specs[s][0](envA)
+        specs[s - 1][1](envB, preB)
+        preB = specs[s][0](envB)
+    specs[-1][1](envA, preA)
+    specs[-1][1](envB, preB)
+    return envA, envB
+
+
+def _out_mask(env):
+    rgb = env["rgb"].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 1)
+    out = jnp.where(lane < 3, rgb, 0.0)
+    return jnp.where(lane == 3, env["sig"][:, 0].astype(jnp.float32)[:, None],
+                     out)
+
+
 PE_NAMES = ["F_all", "S_all"]
 _N_W = len(PE_NAMES) + len(PACK_KEYS)
 
@@ -197,6 +289,18 @@ def _fwd_kernel(bf16, *refs):
     out = jnp.where(lane < 3, acts["rgb"], 0.0)
     out = jnp.where(lane == 3, acts["sig"][:, 0][:, None], out)
     out_ref[:] = out
+
+
+def _fwd_kernel_pipelined(bf16, half, *refs):
+    """Software-pipelined forward: the tile is two half-row chains whose
+    stages are interleaved in program order (see _forward_tile_pipelined)."""
+    x_ref = refs[0]
+    names = PE_NAMES + PACK_KEYS
+    w = {k: refs[1 + i][:] for i, k in enumerate(names)}
+    out_ref = refs[1 + _N_W]
+    envA, envB = _forward_tile_pipelined(x_ref[:half], x_ref[half:], w, bf16)
+    out_ref[:half] = _out_mask(envA)
+    out_ref[half:] = _out_mask(envB)
 
 
 # ---------------------------------------------------------------------------
@@ -292,14 +396,19 @@ def _pad_rows(arr, tile):
     return jnp.pad(arr, ((0, pad), (0, 0)))
 
 
-@partial(jax.jit, static_argnames=("bf16", "interpret", "tile"))
-def _fused_forward(x_pad, weights, bf16=True, interpret=False, tile=None):
+@partial(jax.jit, static_argnames=("bf16", "interpret", "tile", "pipe"))
+def _fused_forward(x_pad, weights, bf16=True, interpret=False, tile=None,
+                   pipe=False):
     n = x_pad.shape[0]
     tile = min(tile or FWD_TILE, max(n, 8))
+    if pipe:
+        tile = max(tile - tile % 16, 16)  # two row-aligned half-chains
     x_pad = _pad_rows(x_pad, tile)
     n_tiles = x_pad.shape[0] // tile
+    kern = (partial(_fwd_kernel_pipelined, bf16, tile // 2) if pipe
+            else partial(_fwd_kernel, bf16))
     out = pl.pallas_call(
-        partial(_fwd_kernel, bf16),
+        kern,
         grid_spec=_grid_specs(n_tiles, tile),
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], OUT_PAD),
                                        jnp.float32),

@@ -101,6 +101,15 @@ def fwd_wall():
     print(f"pallas fwd, no spill : {t*1e3:6.2f} ms  {tf_fwd/t:5.1f} TF/s")
     t = probe(lambda xi, w: K._fused_forward_save(xi, w, True, False)[0])
     print(f"pallas fwd_save      : {t*1e3:6.2f} ms  {tf_fwd/t:5.1f} TF/s")
+    # r4: software-pipelined fwd (two half-tile chains, epilogues of one
+    # explicitly interleaved between the other's matmul issues in program
+    # order — the co-scheduling the r3 ILP-split experiment only OFFERED to
+    # the scheduler, VERDICT r3 #6).
+    for tl in (None, 1024, 1536):
+        t = probe(lambda xi, w, _t=tl: K._fused_forward(xi, w, True, False,
+                                                        tile=_t, pipe=True))
+        print(f"pallas fwd PIPELINED (tile {tl or K.FWD_TILE}): {t*1e3:6.2f}"
+              f" ms  {tf_fwd/t:5.1f} TF/s")
 
     def xla_fwd(xq, w):
         wd = dict(zip(K.PE_NAMES + list(K.PACK_KEYS), w))
