@@ -319,3 +319,67 @@ def test_render_rays_matches_reference(ref_render, ref_nerf, monkeypatch):
     np.testing.assert_allclose(out["rgb_fine"], rgb_f_r.numpy(), atol=1e-5)
     np.testing.assert_allclose(out["acc_fine"], acc_f_r.numpy(), atol=1e-5)
     np.testing.assert_allclose(out["depth_fine"], dep_f_r.numpy(), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref_siren():
+    return _load(os.path.join(REF, "siren", "modules.py"),
+                 "_ref_siren_modules")
+
+
+@pytest.mark.parametrize("kind", ["siren", "tanh", "relu", "relu_pe"])
+def test_siren_mlp_forward_matches_reference(ref_siren, kind):
+    """All four SIREN-zoo backbones vs the reference torch modules with
+    shared weights (ref: siren/modules.py:76-152, img factories :154-162)."""
+    from msra_practice_project_tpu.models.siren_mlp import img_model
+
+    model = img_model(kind)
+    params = model.init(jax.random.PRNGKey(11))
+    tm = ref_siren.img_model(kind)
+    _copy_linear(tm.input_layer, params["input"])
+    for i, p in enumerate(params["hidden"]):
+        _copy_linear(tm.hidden_layers[i], p)
+    _copy_linear(tm.output_layer, params["output"])
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1.0, 1.0, (64, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(_t(x)).numpy()
+    ours = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+
+def _copy_conv(torch_conv, p):
+    """our {'w' [O,I,kh,kw], 'b' [O]} -> torch Conv2d (same OIHW layout)."""
+    with torch.no_grad():
+        torch_conv.weight.copy_(_t(p["w"]))
+        torch_conv.bias.copy_(_t(p["b"]))
+
+
+@pytest.mark.parametrize("res,alpha", [(64, -1.0), (64, 0.3), (32, -1.0),
+                                       (16, 0.7)])
+def test_discriminator_matches_reference(ref_pigan, res, alpha):
+    """Progressive CoordConv discriminator vs the reference with shared
+    weights, across ladder entry points and fade-in states (ref:
+    pi_GAN/modules.py:258-317)."""
+    from msra_practice_project_tpu.models.pigan import Discriminator
+
+    d = Discriminator()
+    params = d.init(jax.random.PRNGKey(13))
+    tm = ref_pigan.Discriminator(64)
+    for i, blk in enumerate(tm.progression_layers):
+        p = params["blocks"][i]
+        _copy_conv(blk.res_layer, p["res"])
+        _copy_conv(blk.layer[0].conv, p["conv1"])
+        _copy_conv(blk.layer[2].conv, p["conv2"])
+    for i, ad in enumerate(tm.adapter_layers):
+        _copy_conv(ad[0], params["adapters"][i])
+    _copy_conv(tm.output_layer, params["out"])
+
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0.0, 1.0, (4, 3, res, res)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tm(_t(x), res, alpha).numpy()
+    ours = np.asarray(d.apply(params, jnp.asarray(x), res, alpha))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4,
+                               err_msg=f"res={res} alpha={alpha}")
