@@ -32,8 +32,17 @@ from . import common
 DEFAULT_IMAGE = "./data/image/cameraman.jpg"
 
 
-def _step_impl(state, buffer, batch_start, apply_fn, tx, batch_size):
+def _step_impl(state, buffer, batch_start, apply_fn, tx, batch_size,
+               batch_spec=None):
     batch = jax.lax.dynamic_slice_in_dim(buffer, batch_start, batch_size)
+    # DP: the buffer is row-sharded over the 'data' mesh axis; a traced
+    # slice start keeps GSPMD from proving shard alignment, so without a
+    # constraint it would all-gather AND compute replicated.  Pinning the
+    # slice back to the batch sharding keeps the MLP work sharded (grads
+    # psum automatically); contents are placement-independent, so
+    # DP == single-device exactly (tests/test_train.py).
+    if batch_spec is not None:
+        batch = jax.lax.with_sharding_constraint(batch, batch_spec)
     pos, target = batch[:, :2], batch[:, 2:]
 
     def loss_fn(params):
@@ -51,20 +60,25 @@ def _step_impl(state, buffer, batch_start, apply_fn, tx, batch_size):
     return new_state, {"loss": loss, "psnr": psnr}
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
-def _train_step(state, buffer, batch_start, *, apply_fn, tx, batch_size):
-    return _step_impl(state, buffer, batch_start, apply_fn, tx, batch_size)
+@partial(jax.jit,
+         static_argnames=("apply_fn", "tx", "batch_size", "batch_spec"))
+def _train_step(state, buffer, batch_start, *, apply_fn, tx, batch_size,
+                batch_spec=None):
+    return _step_impl(state, buffer, batch_start, apply_fn, tx, batch_size,
+                      batch_spec)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
+@partial(jax.jit,
+         static_argnames=("apply_fn", "tx", "batch_size", "batch_spec"))
 def _train_multistep(state, buffer, batch_starts, *, apply_fn, tx,
-                     batch_size):
+                     batch_size, batch_spec=None):
     """K steps in ONE dispatch (lax.scan over slice starts) — amortises the
     ~1.2 ms/dispatch tunnel cost the same way train_nerf's multi-step does.
     The whole dataset is device-resident, so the host contributes nothing
     per step."""
     def body(st, start):
-        return _step_impl(st, buffer, start, apply_fn, tx, batch_size)
+        return _step_impl(st, buffer, start, apply_fn, tx, batch_size,
+                          batch_spec)
 
     return jax.lax.scan(body, state, batch_starts)
 
@@ -108,6 +122,24 @@ def train(config) -> dict:
     state = common.init_state(params, tx)
     global_step, state = common.resume(log_path, state)
 
+    # Data parallelism (same recipe as train_nerf): coordinate buffer rows
+    # shard over the 'data' mesh axis, params/opt state replicate, grads
+    # psum over ICI.  The reference siren scripts are single-GPU; at the
+    # reference batch of 65,536 rows the step is embarrassingly data
+    # parallel, so the mesh path comes for free here.
+    devices = jax.devices()
+    use_dp = (len(devices) > 1 and batch_size % len(devices) == 0
+              and n % len(devices) == 0)
+    batch_spec = None
+    if use_dp:
+        from ..parallel import mesh as mesh_dp
+        dp_mesh = mesh_dp.make_mesh()
+        state = mesh_dp.replicate(state, dp_mesh)
+        buffer = mesh_dp.shard_batch(buffer, dp_mesh)
+        batch_spec = mesh_dp.batch_sharding(dp_mesh)
+        log_print(f"[parallel] data-parallel over {len(devices)} devices; "
+                  f"coordinate buffer sharded")
+
     logger = MetricLogger(["loss", "psnr"])
     log_file = os.path.join(log_path, "log.npy")
     if global_step and os.path.exists(log_file):
@@ -139,13 +171,15 @@ def train(config) -> dict:
                  for i in range(n_chunk)], jnp.int32)
             state, ms = _train_multistep(
                 state, buffer, starts,
-                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size,
+                batch_spec=batch_spec)
             logger.append_vec(loss=ms["loss"], psnr=ms["psnr"])
             m = {key_: v[-1] for key_, v in ms.items()}
         else:
             state, m = _train_step(
                 state, buffer, batch_idx * batch_size,
-                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size,
+                batch_spec=batch_spec)
             logger.append(loss=m["loss"], psnr=m["psnr"])
         batch_idx += n_chunk
         epoch_idx += batch_idx // batch_num

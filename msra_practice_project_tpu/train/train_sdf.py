@@ -62,11 +62,21 @@ def sdf_loss(apply_fn, params, on_point, on_norm, off_point):
             + k[3] * normal_loss)
 
 
-def _step_impl(state, cloud, batch_start, key, apply_fn, tx, batch_size):
+def _step_impl(state, cloud, batch_start, key, apply_fn, tx, batch_size,
+               batch_spec=None):
     batch = jax.lax.dynamic_slice_in_dim(cloud, batch_start, batch_size)
+    # DP: the cloud is row-sharded; constrain the traced-start slice (and
+    # the same-shape off-surface sample) back to the batch sharding so the
+    # double-autograd MLP work shards instead of all-gathering + running
+    # replicated.  Values are placement-independent (same RNG bits), so
+    # DP == single-device exactly (tests/test_train.py).
+    if batch_spec is not None:
+        batch = jax.lax.with_sharding_constraint(batch, batch_spec)
     on_point, on_norm = batch[:, :3], batch[:, 3:]
     off_point = jax.random.uniform(key, (batch_size, 3), minval=-1.0,
                                    maxval=1.0)
+    if batch_spec is not None:
+        off_point = jax.lax.with_sharding_constraint(off_point, batch_spec)
 
     loss, grads = jax.value_and_grad(
         lambda p: sdf_loss(apply_fn, p, on_point, on_norm, off_point)
@@ -79,21 +89,25 @@ def _step_impl(state, cloud, batch_start, key, apply_fn, tx, batch_size):
     }, {"loss": loss}
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
-def _train_step(state, cloud, batch_start, key, *, apply_fn, tx, batch_size):
+@partial(jax.jit,
+         static_argnames=("apply_fn", "tx", "batch_size", "batch_spec"))
+def _train_step(state, cloud, batch_start, key, *, apply_fn, tx, batch_size,
+                batch_spec=None):
     return _step_impl(state, cloud, batch_start, key, apply_fn, tx,
-                      batch_size)
+                      batch_size, batch_spec)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "tx", "batch_size"))
+@partial(jax.jit,
+         static_argnames=("apply_fn", "tx", "batch_size", "batch_spec"))
 def _train_multistep(state, cloud, batch_starts, keys, *, apply_fn, tx,
-                     batch_size):
+                     batch_size, batch_spec=None):
     """K steps in ONE dispatch (lax.scan) — amortises the ~1.2 ms/dispatch
     tunnel cost; identical math to K _train_step calls (same slice starts and
     per-step off-surface RNG keys)."""
     def body(st, sk):
         start, key = sk
-        return _step_impl(st, cloud, start, key, apply_fn, tx, batch_size)
+        return _step_impl(st, cloud, start, key, apply_fn, tx, batch_size,
+                          batch_spec)
 
     return jax.lax.scan(body, state, (batch_starts, keys))
 
@@ -179,6 +193,23 @@ def train(config) -> dict:
     cloud = jax.random.permutation(jax.random.fold_in(shuffle_key, 0),
                                    cloud, axis=0)
 
+    # Data parallelism (same recipe as train_nerf): cloud rows shard over
+    # the 'data' mesh axis, params/opt state replicate, grads psum over ICI.
+    # The reference siren scripts are single-GPU; the 65,536-point SDF batch
+    # with grad-in-grad is the heaviest SIREN step and shards cleanly.
+    devices = jax.devices()
+    use_dp = (len(devices) > 1 and batch_size % len(devices) == 0
+              and n % len(devices) == 0)
+    batch_spec = None
+    if use_dp:
+        from ..parallel import mesh as mesh_dp
+        dp_mesh = mesh_dp.make_mesh()
+        state = mesh_dp.replicate(state, dp_mesh)
+        cloud = mesh_dp.shard_batch(cloud, dp_mesh)
+        batch_spec = mesh_dp.batch_sharding(dp_mesh)
+        log_print(f"[parallel] data-parallel over {len(devices)} devices; "
+                  f"point cloud sharded")
+
     batch_idx, epoch_idx = 0, 0
     batch_num = max(n // batch_size, 1)
     i_mesh = config.get("i_mesh", 1000)
@@ -210,14 +241,16 @@ def train(config) -> dict:
                  for i in range(n_chunk)])
             state, ms = _train_multistep(
                 state, cloud, starts, keys,
-                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size,
+                batch_spec=batch_spec)
             logger.append_vec(loss=ms["loss"])
             m = {"loss": ms["loss"][-1]}
         else:
             state, m = _train_step(
                 state, cloud, batch_idx * batch_size,
                 jax.random.fold_in(root_key, global_step + 1),
-                apply_fn=apply_fn, tx=tx, batch_size=batch_size)
+                apply_fn=apply_fn, tx=tx, batch_size=batch_size,
+                batch_spec=batch_spec)
             logger.append(loss=m["loss"])
         batch_idx += n_chunk
         global_step += n_chunk
@@ -226,6 +259,8 @@ def train(config) -> dict:
             epoch_idx += 1
             cloud = jax.random.permutation(
                 jax.random.fold_in(shuffle_key, epoch_idx), cloud, axis=0)
+            if use_dp:  # keep the permuted cloud row-sharded over chips
+                cloud = mesh_dp.shard_batch(cloud, dp_mesh)
 
         if global_step % config.i_print == 0:
             log_print(f"[Train] Iter: {global_step}({epoch_idx}-{batch_idx}) "
