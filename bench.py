@@ -90,27 +90,39 @@ def bench_nerf_train(batch=BATCH, chunk=10, report_single=True,
 
     steady = None
     if report_single:
-        # Steady-state device rate: one long scanned dispatch (30 steps per
-        # call) so tunnel dispatch/sync is amortised to ~nothing — this is
-        # the in-process rate a production run sustains between host syncs
-        # (BASELINE.md round-3 addendum measures 9.36 ms/step = ~109k).
-        long_chunk = 30
+        # Steady-state device rate, DECONTAMINATED from the tunnel
+        # (VERDICT r4 #6): time a LONG (90-step) and a SHORT (30-step)
+        # scanned dispatch, best-of-3 each, and take the rate of the
+        # DIFFERENCE — the per-dispatch latency + host-sync floor (~35 ms
+        # through the tunnel) and any constant contention tax cancel,
+        # leaving the pure in-jit device rate (the roofline fwdwall
+        # methodology applied to the full train step; BASELINE r3 addendum
+        # measures 9.36 ms/step = ~109k rays/s for this workload).
         kb2 = jax.random.fold_in(key, 4)
+        long_chunk, short_chunk = 90, 30
         long_batches = jnp.stack(
             [_make_batch(jax.random.fold_in(kb2, i), batch)
              for i in range(long_chunk)])
+        short_batches = long_batches[:short_chunk]
         long_fn = multi_fn  # K is a runtime leading dim; same callable
         state2, ms2 = long_fn(state, long_batches, base_key, 0)
         np.asarray(ms2["loss"])
-        best = float("inf")
+        state2, ms2 = long_fn(state2, short_batches, base_key, 0)
+        np.asarray(ms2["loss"])
+        best_long = best_short = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
             state2, ms2 = long_fn(state2, long_batches, base_key, 0)
             np.asarray(ms2["loss"])
-            best = min(best, time.perf_counter() - t0)
-        steady = batch * long_chunk / best
-        print(f"[bench] nerf train steady-state (30-step dispatch): "
-              f"{steady:,.0f} rays/s", file=sys.stderr)
+            best_long = min(best_long, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            state2, ms2 = long_fn(state2, short_batches, base_key, 0)
+            np.asarray(ms2["loss"])
+            best_short = min(best_short, time.perf_counter() - t0)
+        steady = batch * (long_chunk - short_chunk) / (best_long - best_short)
+        print(f"[bench] nerf train steady-state (90-30 step dispatch "
+              f"differential, sync cost cancelled): {steady:,.0f} rays/s",
+              file=sys.stderr)
 
         step_fn = make_train_step(model, model, tx, cfg)
         b0 = batches[0]
@@ -237,10 +249,11 @@ def main():
         # Methodology note: best-of-3 timed blocks since r2 (tunnel
         # contention reads ~35% low); pre-r2 history was single-block.
         "timing": "best_of_3",
-        # Dispatch-free in-jit device rate (30-step scanned dispatch,
-        # best-of-3): contended tunnel windows drag the headline ~35% low
-        # while this stays at the true steady state (VERDICT r3 #8 —
-        # BASELINE r3 addendum: 109.2-109.5k vs 102.1k headline).
+        # Dispatch-free in-jit device rate (90-vs-30-step scanned dispatch
+        # DIFFERENTIAL, best-of-3 each: sync latency + constant contention
+        # tax cancel — VERDICT r4 #6): contended tunnel windows drag the
+        # headline ~35% low while this stays at the true steady state
+        # (BASELINE r3 addendum: 109.2-109.5k vs 102.1k headline).
         "steady_rays_per_sec": round(steady_rays, 1) if steady_rays else None,
     }))
 

@@ -62,16 +62,23 @@ def enable(cache_dir: str | None = None) -> bool:
 
 def _adopt_legacy_entries(path: str) -> None:
     """One-time migration: hard-link any surviving ~/.cache entries into the
-    durable dir so a warm cache isn't thrown away by the relocation."""
+    durable dir so a warm cache isn't thrown away by the relocation.  When
+    ~/.cache and the repo live on different filesystems os.link raises EXDEV
+    — fall back to a real copy so the migration still happens (ADVICE r4)."""
     try:
         if not os.path.isdir(_LEGACY_DIR):
             return
         for name in os.listdir(_LEGACY_DIR):
-            dst = os.path.join(path, name)
+            src, dst = os.path.join(_LEGACY_DIR, name), os.path.join(path, name)
             if not os.path.exists(dst):
                 try:
-                    os.link(os.path.join(_LEGACY_DIR, name), dst)
+                    os.link(src, dst)
                 except OSError:
-                    pass
+                    try:
+                        import shutil
+
+                        shutil.copy2(src, dst)
+                    except OSError:
+                        pass
     except OSError:
         pass

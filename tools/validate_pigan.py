@@ -82,9 +82,14 @@ def decide_resume(exp_dir, resume=False, fresh=False):
     unless --fresh explicitly asks for a wipe.  SUPERVISE_ATTEMPT > 1
     (in-session watchdog restart) still forces resume as before.
     """
-    if fresh:
+    attempt = int(os.environ.get("SUPERVISE_ATTEMPT", "1"))
+    # --fresh is honored only on the FIRST supervise attempt: supervise.py
+    # replays the identical argv on every watchdog restart, so a run launched
+    # `supervise.py -- ... --fresh` would otherwise wipe its experiment dir
+    # and restart from step 0 on every tunnel wedge (ADVICE r4, medium).
+    if fresh and attempt == 1:
         return False
-    if int(os.environ.get("SUPERVISE_ATTEMPT", "1")) > 1:
+    if attempt > 1:
         return True
     if resume:
         return True
@@ -178,6 +183,29 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         **({} if dlr is None else {"discriminator_lr": dlr,
                                    "discriminator_lr_end": dlr / 4.0}),
     }, PIGAN_TRAIN_DEFAULTS)
+
+    # Auto-resume must not silently mix hyperparameters (ADVICE r4, low):
+    # relaunching the same experiment name with different --noise/--dlr/...
+    # would continue the old run under the new config and the gates would
+    # score a mixed-config run.  Compare against the saved resolved config
+    # and warn LOUDLY on any drift (iterations may legitimately extend).
+    if resume:
+        saved_cfg_path = os.path.join(base, name, "config.json")
+        if os.path.exists(saved_cfg_path):
+            import json
+            with open(saved_cfg_path) as f:
+                saved = json.load(f)
+            drift = {k: (saved.get(k), dict(cfg).get(k))
+                     for k in set(saved) | set(dict(cfg))
+                     if saved.get(k) != dict(cfg).get(k)}
+            if drift:
+                print("[validate] *** WARNING: resuming with a DIFFERENT "
+                      "config than the saved run ***")
+                for k, (old, new) in sorted(drift.items()):
+                    print(f"[validate] ***   {k}: saved {old!r} -> "
+                          f"relaunch {new!r}")
+                print("[validate] *** gates will score a mixed-config run; "
+                      "use --fresh or a new experiment name if unintended")
 
     # Device phases OUTSIDE train() (backend init, the untrained baseline
     # sample, post-train eval) get their own watchdog: a tunnel wedge here
