@@ -74,7 +74,8 @@ def make_gan_steps(generator: pigan.Generator,
                    g_tx, d_tx, resolution: int, r1_lambda: float = 1.0,
                    instance_noise: bool = False,
                    d_skip_margin: float | None = None,
-                   diff_augment_policy: str = ""):
+                   diff_augment_policy: str = "",
+                   g_nonsat: bool = False):
     """Jitted (d_step, g_step) for a progressive stage (static resolution).
 
     `instance_noise=True` compiles steps that add N(0, noise_std^2) pixel
@@ -106,7 +107,19 @@ def make_gan_steps(generator: pigan.Generator,
     `diff_augment_policy` ("" = off = reference dynamics): DiffAugment
     (Zhao et al. 2020) — the same random differentiable augmentations on
     real AND fake before D, in both losses (see train/diff_augment.py).
-    The data-efficient-GAN fix for D memorising a small real set."""
+    The data-efficient-GAN fix for D memorising a small real set.
+
+    `g_nonsat` (False = reference dynamics): replace the generator's
+    SATURATING loss E[-softplus(-D(fake))] (pi_GAN/utils.py:28-29,
+    train.py:133 — its gradient w.r.t. the label is sigmoid(-label),
+    which VANISHES exactly when D dominates) with the standard
+    non-saturating form E[softplus(D(fake))] (Goodfellow 2014's -log D
+    trick in this sign convention: gradient sigmoid(+label) -> 1 when D
+    wins).  Same fixed point, same D loss.  Motivated by the r4 flagship
+    post-mortem: stage-1 fake_label ran 1.1-2.9, attenuating G's
+    gradient 3-20x for ~50k iterations while the samples never formed
+    structure, even though the r5 bisect proved the generator can
+    represent the data (BASELINE r5 bisect row)."""
     g_apply = generator.apply
     d_apply = discriminator.apply
     use_aug = bool(diff_augment_policy)
@@ -190,7 +203,10 @@ def make_gan_steps(generator: pigan.Generator,
             fake = noisy(aug(fake, k_af), k_nf, noise_std)
             fake_label = d_apply(jax.lax.stop_gradient(d_params), fake,
                                  resolution, alpha)
-            loss = jnp.mean(loss_f(fake_label))
+            if g_nonsat:
+                loss = jnp.mean(jax.nn.softplus(fake_label))
+            else:
+                loss = jnp.mean(loss_f(fake_label))
             return loss, {"g_loss": loss}
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -313,12 +329,13 @@ def train(config) -> dict:
     d_skip_margin = config.get("d_skip_margin", None)
     d_skip_margin = None if d_skip_margin is None else float(d_skip_margin)
     aug_policy = str(config.get("diff_augment", "") or "")
+    g_nonsat = bool(config.get("g_nonsat", False))
     if (noise0 > 0.0 or noise_floor > 0.0 or d_skip_margin is not None
-            or aug_policy):
+            or aug_policy or g_nonsat):
         log_print(f"[train] instance noise {noise0} annealed over "
                   f"{noise_anneal} iters to floor {noise_floor}; "
                   f"r1_lambda {r1_lambda}; d_skip_margin {d_skip_margin}; "
-                  f"diff_augment '{aug_policy}'")
+                  f"diff_augment '{aug_policy}'; g_nonsat {g_nonsat}")
 
     def noise_at(step: int) -> float:
         return noise_schedule(noise0, noise_anneal, noise_floor, step)
@@ -331,7 +348,8 @@ def train(config) -> dict:
                                           r1_lambda=r1_lambda,
                                           instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
                                           d_skip_margin=d_skip_margin,
-                                          diff_augment_policy=aug_policy)
+                                          diff_augment_policy=aug_policy,
+                                          g_nonsat=g_nonsat)
     log_print(f"Starting at stage {stage}, batch_size:{batch_sizes[stage]}, "
               f"resolution:{resolutions[stage]}")
 
@@ -397,7 +415,8 @@ def train(config) -> dict:
                     resolutions[stage], r1_lambda=r1_lambda,
                     instance_noise=(noise0 > 0.0 or noise_floor > 0.0),
                     d_skip_margin=d_skip_margin,
-                    diff_augment_policy=aug_policy)
+                    diff_augment_policy=aug_policy,
+                    g_nonsat=g_nonsat)
                 log_print(f"[Train] Entering stage {stage}, batch_size:"
                           f"{batch_sizes[stage]}, resolution:"
                           f"{resolutions[stage]}")

@@ -491,6 +491,73 @@ def test_pigan_diff_augment_trains(tmp_path):
     assert len(out["loss_log"]["g_loss"]) == 4
 
 
+def test_pigan_g_nonsat_gradient_identity():
+    """g_nonsat swaps the saturating G loss E[log sigmoid(u)] for
+    E[softplus(u)] (same fixed point under the reference sign convention —
+    D pushes real -> -inf).  Per-sample gradient ratio nonsat/saturating is
+    exactly e^u, so with batch 1 + plain SGD the param deltas must match
+    elementwise after that rescale; when D dominates (u > 0) that ratio
+    > 1, i.e. the nonsat step un-vanishes G's gradient (the r5 flagship
+    post-mortem fix, BASELINE bisect/mining rows)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from msra_practice_project_tpu.models import pigan
+    from msra_practice_project_tpu.train import common as tcommon
+    from msra_practice_project_tpu.train.train_pigan import make_gan_steps
+
+    gen_cfg = pigan.GeneratorConfig(z_dim=8, resolution=8, near=0.5,
+                                    far=1.5, coarse_samples=2,
+                                    fine_samples=2)
+    gen, disc = pigan.Generator(gen_cfg), pigan.Discriminator()
+    tx = optax.sgd(1.0)
+    g_state = tcommon.init_state(gen.init(jax.random.PRNGKey(0)), tx)
+    d_params = disc.init(jax.random.PRNGKey(1))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 8))
+    key = jax.random.PRNGKey(3)
+
+    _, g_sat = make_gan_steps(gen, disc, tx, tx, 8)
+    _, g_non = make_gan_steps(gen, disc, tx, tx, 8, g_nonsat=True)
+    s_sat, m_sat = g_sat(g_state, d_params, z, key, -1.0)
+    s_non, m_non = g_non(g_state, d_params, z, key, -1.0)
+
+    # batch 1: saturating loss = log sigmoid(u) -> recover the label u
+    u = float(jax.scipy.special.logit(jnp.exp(m_sat["g_loss"])))
+    np.testing.assert_allclose(float(m_non["g_loss"]),
+                               float(jax.nn.softplus(u)), rtol=1e-5)
+
+    ratio = float(jnp.exp(u))  # sigmoid(u) / sigmoid(-u)
+
+    def delta(s):
+        return jax.tree.map(lambda new, old: np.asarray(new, np.float64)
+                            - np.asarray(old, np.float64),
+                            s["params"], g_state["params"])
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        b, a * ratio, rtol=5e-3, atol=1e-7),
+        delta(s_sat), delta(s_non))
+
+
+def test_pigan_g_nonsat_trains(tmp_path):
+    """The g_nonsat config knob flows through the public trainer (config ->
+    make_gan_steps incl. the stage-switch rebuild) and trains finitely."""
+    from msra_practice_project_tpu.train import train_pigan
+
+    cfg = resolve({
+        "output_path": str(tmp_path), "experiment_name": "pigan_nonsat",
+        "data_path": "/nonexistent", "z_dim": 16,
+        "render_coarse_sample_num": 2, "render_fine_sample_num": 2,
+        "iterations": [3, 6], "fade_in_itrs": [0, 2],
+        "batch_size": [2, 2], "resolution": [8, 16],
+        "i_print": 100, "i_save": 100, "i_image": 100, "data_n": 4,
+        "g_nonsat": True,
+    }, PIGAN_TRAIN_DEFAULTS)
+    out = train_pigan.train(cfg)
+    assert np.isfinite(out["loss_log"]["d_loss"]).all()
+    assert np.isfinite(out["loss_log"]["g_loss"]).all()
+    assert len(out["loss_log"]["g_loss"]) == 6
+
+
 def test_pigan_noise_std_zero_matches_no_noise_graph():
     """With instance_noise compiled in but noise_std == 0 the added term is
     exactly zero: only the RNG split differs from the reference graph, so

@@ -73,6 +73,30 @@ def center_corner_contrast(imgs, frac=4):
     return float(np.abs(center - corners).mean())
 
 
+def corner_patches(imgs, frac=8):
+    """[N, 4*ph, pw, 3] stack of the four h//frac corner patches."""
+    imgs = np.asarray(imgs)
+    h, w = imgs.shape[1:3]
+    ph, pw = h // frac, w // frac
+    return np.concatenate([
+        imgs[:, :ph, :pw, :], imgs[:, :ph, -pw:, :],
+        imgs[:, -ph:, :pw, :], imgs[:, -ph:, -pw:, :]], axis=1)
+
+
+def corner_background_error(imgs, bg, frac=8):
+    """Mean |corner-patch pixel - bg| per image (r5 gate).
+
+    Real bigface corners are the (soft-silhouette-tinted) light
+    background; mottled colour-gradient fields (the r4 flagship's failure
+    mode) put arbitrary colour there.  `bg` is the MEDIAN of the real
+    batch's own corner pixels — against it the measured separation on the
+    flagship artifacts is real 0.057 vs flagship-final 0.202 (3.5x) at
+    frac 8, vs only 1.4x against the nominal 0.9 grey at frac 4 (heads
+    intrude into quarter-size corners).  A separator head-less runs can't
+    scrape, unlike center-corner contrast (structureless ceiling 33%)."""
+    return float(np.abs(corner_patches(imgs, frac) - bg).mean())
+
+
 def decide_resume(exp_dir, resume=False, fresh=False):
     """Host-restart-safe resume decision (VERDICT r3 #2).
 
@@ -113,7 +137,7 @@ def sample(generator, g_params, key, n, res):
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
          resume=False, variant="shaded", noise=0.0, dlr=None, floor=0.0,
-         margin=None, augment="", fresh=False):
+         margin=None, augment="", fresh=False, nonsat=False, zdim=256):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -150,7 +174,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     res = schedule["resolution"][-1]
     cfg = resolve({
         "output_path": base, "experiment_name": name,
-        "data_path": "/nonexistent", "z_dim": 256,
+        "data_path": "/nonexistent", "z_dim": zdim,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
         # i_save divides the watchdog-restart replay loss; cap it at 5000 so
         # a wedge on a reference-scale run (total 100k) costs <= ~12 min of
@@ -176,6 +200,10 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         # --aug "color,translation,cutout": DiffAugment on real+fake
         # before D (train/diff_augment.py)
         **({} if not augment else {"diff_augment": augment}),
+        # --nonsat: non-saturating G loss (see train_pigan.make_gan_steps
+        # docstring) — the r5 response to the flagship post-mortem (D
+        # dominance x the saturating loss's vanishing G-gradient)
+        **({"g_nonsat": True} if nonsat else {}),
         **schedule,
         # the reference's D lr is 8x G's (4e-4 vs 5e-5, tuned for CelebA);
         # on easy synthetic data that ratio lets D saturate — --dlr scales
@@ -216,7 +244,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # untrained reference point
     from msra_practice_project_tpu.models import pigan
     gen_cfg = pigan.GeneratorConfig(
-        z_dim=256, resolution=res, near=cfg.render_near, far=cfg.render_far,
+        z_dim=zdim, resolution=res, near=cfg.render_near, far=cfg.render_far,
         coarse_samples=8, fine_samples=16)
     dog = Watchdog(900.0)
     g0 = pigan.Generator(gen_cfg)
@@ -264,6 +292,15 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     ef_real = d_embed(real_np[:64])
     fd0 = frechet_from_features(d_embed(samples0), ef_real)
     fd1 = frechet_from_features(d_embed(samples1), ef_real)
+    # r5: held-out real-vs-real SANITY FLOOR under the same embedding (the
+    # scale anchor the r4 gate lacked — flagship mining measured the failed
+    # run at 115-147x this floor at every ckpt while still "improving" on
+    # some relative metrics).  A disjoint real batch -> fd_floor; the gate
+    # adds an absolute bar at 30x it.
+    real_heldout = np.asarray(real)[64:128]
+    if len(real_heldout) < 8:  # tiny smoke datasets: reuse a shifted slice
+        real_heldout = np.asarray(real)[max(len(real) // 2, 1):]
+    fd_floor = frechet_from_features(d_embed(real_heldout), ef_real)
     # Per-image spatial structure: std over (H, W) within each sample,
     # averaged over batch+channels.  Catches the flat-field collapse the
     # 30k batch-64 run exhibited — per-sample flat colour fields keep
@@ -297,7 +334,8 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     print(f"[validate] feature (rf-frechet) untrained {f0:.4f} -> "
           f"trained {f1:.4f}")
     print(f"[validate] trained-D feature frechet untrained {fd0:.4f} -> "
-          f"trained {fd1:.4f}")
+          f"trained {fd1:.4f} (real-vs-real floor {fd_floor:.2f}; "
+          f"trained = {fd1 / max(fd_floor, 1e-9):.1f}x floor, bar 30x)")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
     print(f"[validate] within-image spatial std: real {spatial_real:.4f}, "
           f"untrained {spatial0:.4f} -> trained {spatial1:.4f} "
@@ -308,16 +346,31 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     if variant in ("face", "bigface"):
         cc_real = center_corner_contrast(real_np)
         cc1 = center_corner_contrast(samples1)
-        # GATED since r4 (was diagnostic-only): heads are centred objects on
-        # light backgrounds, so fog / mottled colour fields score ~0-13% of
-        # real here no matter what the distribution metrics say (every r3
-        # compressed run sat at 10-13%).  Bar 25% of real — between the
-        # structureless ceiling and genuine head formation; calibrated
-        # against the flagship ckpt trajectory when it lands.
-        cc_ok = bool(cc1 > 0.25 * cc_real)
+        # GATED since r4; bar RECALIBRATED in r5 from the completed-flagship
+        # mining (tools/mine_flagship.py, runs/.../mine_flagship.json): the
+        # structureless colour-gradient fields of the failed 100k run
+        # plateau at 26-33% of real from 35k on — so the old 25% bar was
+        # scrapeable by headless images (it PASSED the visual FAIL).
+        # Genuine head formation measures 78-94% (the r5 MSE-reconstruction
+        # bisect, BASELINE bisect row).  Bar 50%: above the measured
+        # structureless ceiling, well under genuine heads.
+        cc_ok = bool(cc1 > 0.50 * cc_real)
         print(f"[validate] center-corner contrast (head formation): real "
               f"{cc_real:.4f} -> trained {cc1:.4f} (fog scores ~0; "
-              f"gate >25% of real: {'ok' if cc_ok else 'FAIL'})")
+              f"gate >50% of real: {'ok' if cc_ok else 'FAIL'})")
+        # Corner-background formation (r5, from the flagship mining +
+        # measured separation on its final artifacts): a generator that
+        # forms heads must also form the background behind them.  bg =
+        # median of the real batch's corner pixels; flagship-final reads
+        # 3.5x real's error.  Bar 2x.
+        bg = float(np.median(corner_patches(real_np)))
+        cbe_real = corner_background_error(real_np, bg)
+        cbe1 = corner_background_error(samples1, bg)
+        cbe_ok = bool(cbe1 < 2.0 * cbe_real)
+        cc_ok = cc_ok and cbe_ok
+        print(f"[validate] corner-background formation error (bg "
+              f"{bg:.3f}): real {cbe_real:.4f} -> trained {cbe1:.4f} "
+              f"(gate <2x real: {'ok' if cbe_ok else 'FAIL'})")
 
     # Long-horizon stability (VERDICT r2 next-round #3): the loss curves
     # must stay finite with no late divergence, and the sample-diversity
@@ -383,14 +436,21 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # low-freq form: per-pixel speckle (which the raw std rewards) pools
     # away, so only genuine structure can clear the bar
     spatial_ok = lf1 > 0.4 * lf_real
-    ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and (fd1 < 0.5 * fd0) \
+    # trained-D Fréchet gate, r5 form: relative improvement AND an absolute
+    # anchor against the real-vs-real floor (mining datum: the failed
+    # flagship sat at 115-147x floor at every ckpt while some relative
+    # metrics "improved"; genuine distribution match must land within low
+    # tens of the floor).
+    fd_ok = (fd1 < 0.5 * fd0) and (fd1 < 30.0 * fd_floor)
+    ok = (d1 < 0.66 * d0) and (f1 < 0.5 * f0) and fd_ok \
         and diversity > 0.02 \
         and 1e-4 < delta < 0.3 and finite and tail_ok and no_collapse \
         and spatial_ok and cc_ok
     print("[validate]", "PASS" if ok else "FAIL",
           "(hist improves >=34%, rf-frechet improves >=50%, trained-D "
-          "frechet improves >=50%, diverse samples, LOW-FREQ spatial "
-          "structure >=40% of real, head contrast >=25% of real on face "
+          "frechet improves >=50% AND <30x real-vs-real floor, diverse "
+          "samples, LOW-FREQ spatial structure >=40% of real, head "
+          "contrast >=50% of real + corner-background <2x real on face "
           "variants, view-consistent, losses stable, no collapse)")
     return ok
 
@@ -422,10 +482,17 @@ if __name__ == "__main__":
         i = raw.index("--aug")
         augment = raw[i + 1]
         raw = raw[:i] + raw[i + 2:]
+    zdim = 256
+    if "--zdim" in raw:
+        i = raw.index("--zdim")
+        zdim = int(raw[i + 1])
+        raw = raw[:i] + raw[i + 2:]
     argv = [a for a in raw
-            if a not in ("--resume", "--face", "--bigface", "--fresh")]
+            if a not in ("--resume", "--face", "--bigface", "--fresh",
+                         "--nonsat")]
     resume = "--resume" in raw
     fresh = "--fresh" in raw
+    nonsat = "--nonsat" in raw
     variant = ("bigface" if "--bigface" in raw
                else "face" if "--face" in raw else "shaded")
     its = int(argv[0]) if len(argv) > 0 else 1200
@@ -434,5 +501,5 @@ if __name__ == "__main__":
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
     ok = main(its, s1, fade, batch0, data_n, resume, variant, noise, dlr,
-              floor, margin, augment, fresh)
+              floor, margin, augment, fresh, nonsat, zdim)
     sys.exit(0 if ok else 1)
