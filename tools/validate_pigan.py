@@ -137,7 +137,8 @@ def sample(generator, g_params, key, n, res):
 
 def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
          resume=False, variant="shaded", noise=0.0, dlr=None, floor=0.0,
-         margin=None, augment="", fresh=False, nonsat=False, zdim=256):
+         margin=None, augment="", fresh=False, nonsat=False, zdim=256,
+         exp_name=None):
     """Single-stage gate (stage1_iters=0) or the full two-stage progressive
     schedule (ref: pi_GAN/configs/test.json, train.py:30-33,96-98 — 32^2 ->
     10k fade-in -> 64^2, scaled down): stage 0 for `iterations`, then
@@ -150,8 +151,11 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     # ~30k when a host restart wiped its /tmp experiment dir (BASELINE.md).
     from msra_practice_project_tpu.core.artifacts import run_dir
     base = run_dir("pigan_validate")
-    name = ("exp2" if two_stage else "exp") + \
-        ("" if variant == "shaded" else f"_{variant}")
+    # --name overrides the derived experiment dir so retries never clobber
+    # a prior campaign's durable artifacts (the r4 flagship's 20 ckpts +
+    # evolution grids under exp2_bigface are post-mortem evidence)
+    name = exp_name or (("exp2" if two_stage else "exp") +
+                        ("" if variant == "shaded" else f"_{variant}"))
     # Resume on: explicit --resume, a supervised restart (watchdog exit),
     # OR checkpoints already present in the durable dir (host-restart
     # relaunch, where both other signals are lost).  --fresh wipes.
@@ -487,6 +491,11 @@ if __name__ == "__main__":
         i = raw.index("--zdim")
         zdim = int(raw[i + 1])
         raw = raw[:i] + raw[i + 2:]
+    exp_name = None
+    if "--name" in raw:
+        i = raw.index("--name")
+        exp_name = raw[i + 1]
+        raw = raw[:i] + raw[i + 2:]
     argv = [a for a in raw
             if a not in ("--resume", "--face", "--bigface", "--fresh",
                          "--nonsat")]
@@ -501,5 +510,5 @@ if __name__ == "__main__":
     batch0 = int(argv[3]) if len(argv) > 3 else 16
     data_n = int(argv[4]) if len(argv) > 4 else 128
     ok = main(its, s1, fade, batch0, data_n, resume, variant, noise, dlr,
-              floor, margin, augment, fresh, nonsat, zdim)
+              floor, margin, augment, fresh, nonsat, zdim, exp_name)
     sys.exit(0 if ok else 1)
