@@ -316,9 +316,15 @@ class Generator:
         # data and stop-gradient'd z values, so input grads are dead work.
         model_fn = jax.tree_util.Partial(self.trunk.apply, params["trunk"],
                                          film=film, need_dx=False)
+        # last_dist_mode="mean": bound the final sample interval instead of
+        # the reference's 1e10 tail (pi_GAN/render.py:137).  With visible
+        # background (acc < 1) the infinite tail forces sigma_last ~ 1e-10,
+        # where d alpha/d sigma ~ 1e10 — measured to poison ~17% of latents'
+        # G gradients with 1e9-1e11 spikes and stall adversarial training
+        # outright (r5 post-mortem, tools/probe_gradbug*; BASELINE row).
         out = render_rays(
             key, rays_o, rays_d, cfg.near, cfg.far,
-            model_fn, model_fn, nc, nf,
+            model_fn, model_fn, nc, nf, last_dist_mode="mean",
         )
         b = film.shape[0]
         return out["rgb_fine"].reshape(b, res, res, 3)

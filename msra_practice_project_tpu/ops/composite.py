@@ -1,9 +1,28 @@
 """Alpha compositing of raw (rgb, sigma) samples into pixel values.
 
-Replaces `raw_to_outputs` (nerf/render.py:78-103).  The transmittance
-`cumprod` is the only sequential op in the render path; XLA lowers the
-exclusive cumprod over the (static, small) sample axis to a log-depth scan on
-the VPU, fused with the surrounding elementwise work.
+Replaces `raw_to_outputs` (nerf/render.py:78-103).  The transmittance is
+computed in LOG SPACE: the reference's `cumprod(1 - alpha + 1e-10)`
+(nerf/render.py:98, pi_GAN/render.py:143) equals `exp(-cumsum(sigma *
+dists))` identically, because 1 - alpha_j = exp(-sigma_j * dists_j) by
+construction — so the cumsum form is the same function with three wins:
+
+  * GRADIENT STABILITY (the r5 pi-GAN post-mortem, tools/probe_gradbug*):
+    jax's cumprod VJP divides by its inputs, so any near-opaque sample
+    (alpha ~ 1, factor ~ 1e-10) amplifies the sigma backward by ~1e10
+    with f32 cancellation garbage on top.  Measured: ~17% of generator
+    latents produced |grad| ~ 1e9-1e11 (vs ~1e2 normal), poisoning
+    essentially every GAN batch — the direct cause of the r4/r5 flagship
+    "stalled equilibrium" failures.  torch's cumprod backward special-
+    cases zeros, so the reference never sees this; in log space the
+    backward is a cumsum — no division, no epsilon, bounded.
+  * ACCURACY: exp(-x) directly instead of 1 - (1 - exp(-x)) round-trips;
+    no 1e-10 floor leaking into opaque-tail transmittance.
+  * SPEED: an additive scan + exp fuses at least as well as a
+    multiplicative scan on the VPU.
+
+Forward-semantics parity with the reference is preserved to f32 rounding
+(the 1e-10 epsilon only mattered below that); tests/test_reference_parity
+checks this against the actual torch implementation.
 """
 
 from __future__ import annotations
@@ -13,27 +32,46 @@ import jax.numpy as jnp
 INF_DIST = 1e10
 
 
-def raw_to_outputs(raw, z_vals, rays_d, white_bkgd: bool = True):
+def raw_to_outputs(raw, z_vals, rays_d, white_bkgd: bool = True,
+                   last_dist_mode: str = "inf"):
     """raw [..., S, 4] (rgb in [0,1], sigma >= 0 — activations are applied by
     the model heads), z_vals [..., S], rays_d [..., 3].
 
     Returns (rgb_map [..., 3], depth_map [...], acc_map [...], weights
     [..., S]) — semantics identical to nerf/render.py:78-103, including the
     white-background composite `rgb += (1 - acc)` (:101).
+
+    `last_dist_mode` sets the width of the final sample's interval:
+      * "inf"  — the reference's 1e10 convention (nerf/render.py:95,
+        pi_GAN/render.py:137): any density at the far plane absorbs all
+        remaining transmittance.  Ill-conditioned for ADVERSARIAL training
+        whenever background must show through (acc < 1 requires
+        sigma_last ~ 1e-10, where d alpha/d sigma = 1e10 * exp(-tau) ~ 1e10
+        — the r5 pi-GAN post-mortem measured |grad| ~ 1e9-1e11 on ~17% of
+        latents from exactly this term; tools/probe_gradbug*).
+      * "mean" — the final interval gets the mean width of the real
+        intervals; d alpha/d sigma stays O(interval).  Used by the pi-GAN
+        generator (models/pigan.py render_film), where the infinite tail
+        is actively harmful and the far plane is a modelling choice, not
+        scene geometry.
     """
     dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], INF_DIST)], axis=-1
-    )
+    if last_dist_mode == "mean":
+        last = jnp.mean(dists, axis=-1, keepdims=True)
+    else:
+        last = jnp.full_like(dists[..., :1], INF_DIST)
+    dists = jnp.concatenate([dists, last], axis=-1)
     dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     rgb = raw[..., :3]
-    alpha = 1.0 - jnp.exp(-raw[..., 3] * dists)
+    tau = raw[..., 3] * dists  # optical depth of each interval
+    alpha = -jnp.expm1(-tau)   # 1 - exp(-tau), accurate near tau = 0
 
-    # Exclusive cumprod of (1 - alpha + 1e-10): transmittance T_i.
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    # Exclusive transmittance T_i = prod_{j<i} (1 - alpha_j)
+    #                             = exp(-sum_{j<i} tau_j), in log space.
+    trans = jnp.exp(-jnp.cumsum(tau[..., :-1], axis=-1))
     trans = jnp.concatenate(
-        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1
+        [jnp.ones_like(trans[..., :1]), trans], axis=-1
     )
     weights = alpha * trans
 

@@ -31,11 +31,14 @@ from .sampling import sample_pdf, stratified_samples
 
 def render_rays(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
                 coarse_sample_num: int, fine_sample_num: int,
-                perturb: bool = True, white_bkgd: bool = True):
+                perturb: bool = True, white_bkgd: bool = True,
+                last_dist_mode: str = "inf"):
     """Render a batch of rays (ref: nerf/render.py:106-147).
 
     rays_o/rays_d: [..., R, 3].  Returns a dict with coarse and fine
-    rgb/depth/acc maps ([..., R, 3] / [..., R]).
+    rgb/depth/acc maps ([..., R, 3] / [..., R]).  `last_dist_mode` is
+    forwarded to raw_to_outputs (see ops/composite.py — "mean" bounds the
+    final interval for gradient-stable adversarial rendering).
     """
     view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     batch_shape = rays_o.shape[:-1]
@@ -48,7 +51,7 @@ def render_rays(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
     dirs = jnp.broadcast_to(view_dirs[..., None, :], pts.shape)
     raw = coarse_fn(jnp.concatenate([pts, dirs], axis=-1))
     rgb_c, depth_c, acc_c, weights = raw_to_outputs(
-        raw, z_vals, rays_d, white_bkgd
+        raw, z_vals, rays_d, white_bkgd, last_dist_mode
     )
 
     # Fine pass: importance samples from the coarse weights, merged + sorted.
@@ -57,7 +60,8 @@ def render_rays(key, rays_o, rays_d, near, far, coarse_fn, fine_fn,
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     dirs = jnp.broadcast_to(view_dirs[..., None, :], pts.shape)
     raw = fine_fn(jnp.concatenate([pts, dirs], axis=-1))
-    rgb_f, depth_f, acc_f, _ = raw_to_outputs(raw, z_all, rays_d, white_bkgd)
+    rgb_f, depth_f, acc_f, _ = raw_to_outputs(raw, z_all, rays_d, white_bkgd,
+                                              last_dist_mode)
 
     return {
         "rgb_coarse": rgb_c, "depth_coarse": depth_c, "acc_coarse": acc_c,
