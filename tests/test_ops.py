@@ -191,6 +191,75 @@ def test_raw_to_outputs_empty_space_white_background():
     np.testing.assert_allclose(float(acc[0]), 0.0, atol=1e-6)
 
 
+def test_raw_to_outputs_gradients_bounded(rng):
+    """Regression for the r5 pi-GAN root cause (BASELINE "ROOT CAUSE r5").
+
+    With the reference's cumprod(1 - alpha + 1e-10) transmittance, jax's
+    cumprod VJP divides by its inputs, so any near-opaque sample (factor ~
+    1e-10 — guaranteed at the last sample under the dists[-1] = 1e10
+    convention whenever sigma_last isn't vanishing) amplified sigma
+    gradients by ~1e10 with f32 cancellation garbage on top (measured
+    |grad| ~ 1e9-1e11 on ~17% of generator latents).  The log-space form
+    (exp(-cumsum(tau))) must keep every gradient finite and O(1/interval)
+    regardless of opacity pattern.
+    """
+    # adversarial mix: opaque samples (alpha ~ 1), near-transparent tails
+    # (background shows through, acc < 1), and ordinary mid-range rays
+    raw = rng.uniform(0, 1, size=(24, 32, 4)).astype(np.float32)
+    raw[:8, :, 3] *= 1e-9        # background-visible rays
+    raw[8:16, 5, 3] = 50.0       # a hard opaque wall mid-ray
+    raw[16:, :, 3] *= 10.0
+    z = np.sort(rng.uniform(0.5, 1.5, size=(24, 32)), -1).astype(np.float32)
+    rd = rng.normal(size=(24, 3)).astype(np.float32)
+
+    def loss(r, mode):
+        rgb, _, _, _ = composite.raw_to_outputs(
+            jnp.asarray(r), jnp.asarray(z), jnp.asarray(rd),
+            last_dist_mode=mode)
+        return jnp.sum(rgb)
+
+    for mode in ("inf", "mean"):
+        g = np.asarray(jax.grad(loss)(jnp.asarray(raw), mode))
+        assert np.all(np.isfinite(g)), mode
+        # non-last samples: intervals are ~0.03 wide, transmittance <= 1,
+        # so |d rgb / d sigma| <= ||rd|| * dist ~ O(0.1); 1e3 is a loose
+        # bound that the cumprod VJP bug violated by 6+ orders of magnitude
+        assert np.abs(g[:, :-1, 3]).max() < 1e3, mode
+        if mode == "mean":
+            # bounded final interval: the last sample's sigma gradient is
+            # O(mean interval), not O(1e10)
+            assert np.abs(g[:, -1, 3]).max() < 1e3
+
+
+def test_raw_to_outputs_last_dist_mean_forward(rng):
+    """'mean' mode == 'inf' mode everywhere except the final interval width
+    (models/pigan.py render_film uses it; NeRF/SIREN keep the reference
+    convention)."""
+    raw = rng.uniform(0, 1, size=(8, 16, 4)).astype(np.float32)
+    raw[..., 3] *= 5
+    z = np.sort(rng.uniform(0.5, 1.5, size=(8, 16)), -1).astype(np.float32)
+    rd = rng.normal(size=(8, 3)).astype(np.float32)
+
+    got = composite.raw_to_outputs(jnp.asarray(raw), jnp.asarray(z),
+                                   jnp.asarray(rd), last_dist_mode="mean")
+    # oracle: replace the 1e10 final width with the mean real width
+    dists = z[..., 1:] - z[..., :-1]
+    mean_w = dists.mean(-1, keepdims=True)
+    dists = np.concatenate([dists, mean_w], -1)
+    dists = dists * np.linalg.norm(rd, axis=-1, keepdims=True)
+    alpha = 1.0 - np.exp(-raw[..., 3] * dists)
+    ones = np.ones_like(alpha[..., :1])
+    trans = np.cumprod(
+        np.concatenate([ones, 1 - alpha + 1e-10], -1), -1)[..., :-1]
+    weights = alpha * trans
+    want_rgb = (weights[..., None] * raw[..., :3]).sum(-2)
+    want_rgb = want_rgb + (1 - weights.sum(-1)[..., None])
+    np.testing.assert_allclose(np.asarray(got[0]), want_rgb,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[3]), weights,
+                               rtol=1e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # render_rays end-to-end on a synthetic analytic field
 # ---------------------------------------------------------------------------
