@@ -338,7 +338,7 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     print(f"[validate] feature (rf-frechet) untrained {f0:.4f} -> "
           f"trained {f1:.4f}")
     print(f"[validate] trained-D feature frechet untrained {fd0:.4f} -> "
-          f"trained {fd1:.4f} (real-vs-real floor {fd_floor:.2f}; "
+          f"trained {fd1:.4f} (real-vs-real floor {fd_floor:.4g}; "
           f"trained = {fd1 / max(fd_floor, 1e-9):.1f}x floor, bar 30x)")
     print(f"[validate] sample diversity (std across batch): {diversity:.4f}")
     print(f"[validate] within-image spatial std: real {spatial_real:.4f}, "
