@@ -180,15 +180,18 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         "output_path": base, "experiment_name": name,
         "data_path": "/nonexistent", "z_dim": zdim,
         "render_coarse_sample_num": 8, "render_fine_sample_num": 16,
-        # i_save divides the watchdog-restart replay loss; cap it at 5000 so
-        # a wedge on a reference-scale run (total 100k) costs <= ~12 min of
-        # recompute, not 24 (140 MB per ckpt; /tmp has >100 GB free)
+        # i_save divides the watchdog-restart replay loss; cap it at 2500 so
+        # a wedge on a reference-scale run (total 100k) costs <= ~6 min of
+        # recompute (140 MB per ckpt; the durable run root has >100 GB free)
         "i_print": max(min(total // 5, 2500), 1),
-        "i_save": max(min(total // 10, 5000), 1),
+        "i_save": max(min(total // 10, 2500), 1),
         "i_image": total, "data_n": data_n, "data_variant": variant,
         # long-horizon runs hit real tunnel wedges (BASELINE 30k row):
-        # stall > 15 min -> exit 17; restart with --resume (or supervise.py)
-        "watchdog_timeout": 900,
+        # stall > 10 min -> exit 17; restart with --resume (or supervise.py).
+        # 600 s clears the worst observed cold stage-switch compile (~350 s)
+        # with 1.7x margin while halving wedge-detection dead time vs the
+        # old 900 (three wedges were eaten by real flagship runs)
+        "watchdog_timeout": 600,
         # annealed instance noise (see train_pigan docstring): on clean
         # synthetic data D otherwise reaches ~0 loss and the saturating
         # g_loss starves G (the 30k face run's stage-0 flat-field collapse)
