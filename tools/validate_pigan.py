@@ -253,7 +253,11 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
     gen_cfg = pigan.GeneratorConfig(
         z_dim=zdim, resolution=res, near=cfg.render_near, far=cfg.render_far,
         coarse_samples=8, fine_samples=16)
-    dog = Watchdog(900.0)
+    # 1800 s: backend init alone has been observed to take ~15 min under
+    # service load (r5 flagship attempts 2/3 — attempt 3 was killed at
+    # exactly 900 s mid-init and had to pay the whole init again); inits
+    # here are slow-but-completing, so a generous leash beats a retry loop
+    dog = Watchdog(1800.0)
     g0 = pigan.Generator(gen_cfg)
     p0 = g0.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
