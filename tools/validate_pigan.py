@@ -187,11 +187,13 @@ def main(iterations=1200, stage1_iters=0, fade=200, batch0=16, data_n=128,
         "i_save": max(min(total // 10, 2500), 1),
         "i_image": total, "data_n": data_n, "data_variant": variant,
         # long-horizon runs hit real tunnel wedges (BASELINE 30k row):
-        # stall > 10 min -> exit 17; restart with --resume (or supervise.py).
-        # 600 s clears the worst observed cold stage-switch compile (~350 s)
-        # with 1.7x margin while halving wedge-detection dead time vs the
-        # old 900 (three wedges were eaten by real flagship runs)
-        "watchdog_timeout": 600,
+        # stall -> exit 17; restart with --resume (or supervise.py).
+        # Do NOT set this below ~900: the r5 flagship's stage-1 entry
+        # (cold 64^2 compile under service load) blew through a 600 s
+        # watchdog, and a kill mid-compile leaves no cache entry — the
+        # replay faces the identical compile and loops. 1200 s covers the
+        # worst observed remote compile with margin
+        "watchdog_timeout": 1200,
         # annealed instance noise (see train_pigan docstring): on clean
         # synthetic data D otherwise reaches ~0 loss and the saturating
         # g_loss starves G (the 30k face run's stage-0 flat-field collapse)
